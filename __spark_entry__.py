@@ -1,38 +1,124 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark DataFrame operator from SURVEY.md §2
+over the driver's ``documents`` table; ``oracle_sql()`` returns the
+byte-semantics-identical DuckDB SQL (generated from the same shared
+formula strings — see ``legal_text_retrieval_spark/functions/``).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from legal_text_retrieval_spark.config import BM25Params, NORTH_STAR_BM25  # noqa: E402
+
+_OKAPI = BM25Params(variant="okapi")
+_K = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legal_text_retrieval_spark.sources.corpus import load_documents
+
+    return load_documents(spark, sf_dir)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25Plus top-10 over the sf0.001 corpus for the
+    corpus-derived query set."""
+    from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return B.bm25_topk(docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_doc_lengths(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import stats
+
+    return stats.doc_lengths(_docs(spark, sf_dir))
+
+
+def _q_corpus_stats(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import stats
+
+    return stats.corpus_stats(_docs(spark, sf_dir))
+
+
+def _q_term_tf(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import stats
+
+    return stats.term_frequencies(_docs(spark, sf_dir))
+
+
+def _q_term_df(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import stats
+
+    return stats.document_frequencies(_docs(spark, sf_dir))
+
+
+def _q_idf_plus(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import stats
+
+    return stats.idf_plus(_docs(spark, sf_dir))
+
+
+def _q_idf_okapi(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import stats
+
+    return stats.idf_okapi(_docs(spark, sf_dir))
+
+
+def _q_bm25plus_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return B.bm25_topk(docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K)
+
+
+def _q_bm25okapi_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return B.bm25_topk(docs, C.derived_queries(docs), _OKAPI, k=_K)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_lengths": _q_doc_lengths,
+        "corpus_stats": _q_corpus_stats,
+        "term_tf": _q_term_tf,
+        "term_df": _q_term_df,
+        "idf_plus": _q_idf_plus,
+        "idf_okapi": _q_idf_okapi,
+        "bm25plus_topk": _q_bm25plus_topk,
+        "bm25okapi_topk": _q_bm25okapi_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.operators import stats
+    from legal_text_retrieval_spark.sources.corpus import derived_queries_sql
+
+    qsql = derived_queries_sql("documents")
+    return {
+        "doc_lengths": stats.doc_lengths_sql("documents"),
+        "corpus_stats": stats.corpus_stats_sql("documents"),
+        "term_tf": stats.term_frequencies_sql("documents"),
+        "term_df": stats.document_frequencies_sql("documents"),
+        "idf_plus": stats.idf_plus_sql("documents"),
+        "idf_okapi": stats.idf_okapi_sql("documents"),
+        "bm25plus_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
+        "bm25okapi_topk": B.bm25_topk_sql("documents", qsql, _OKAPI, _K),
+    }

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from legal_text_retrieval_spark.config import NORTH_STAR_BM25
+    from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.operators import stats
+    from legal_text_retrieval_spark.session import get_spark
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    spark = get_spark(app_name="lts-bench", master=f"local[{cpus}]")
+    docs = C.load_documents(spark, sf_dir).cache()
+    n_docs = docs.count()
+    queries_df = C.derived_queries(docs).cache()
+    queries_df.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("tokenize_stats", lambda: stats.corpus_stats(docs).collect())
+    timed("term_tf_df", lambda: stats.document_frequencies(docs).count())
+    timed(
+        "bm25plus_topk150",
+        lambda: B.bm25_topk(docs, queries_df, NORTH_STAR_BM25, k=150).count(),
+    )
+    timed(
+        "bm25plus_topk10",
+        lambda: B.bm25_topk(docs, queries_df, NORTH_STAR_BM25, k=10).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (relational BM25 path)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

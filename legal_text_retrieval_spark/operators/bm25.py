@@ -1,0 +1,240 @@
+"""Relational BM25 scoring (Q1-Q3) + argsort-parity top-k (T1/T2).
+
+The query is ONE declarative plan: broadcast the (tiny) query-term side,
+equi-join postings on term, two-phase aggregate per (query, doc), add
+the per-query BM25Plus delta constant, window top-k.  Catalyst turns
+this into: parquet scan (term/doc pruned) → broadcast hash join →
+partial+final hash agg → window.  No Python anywhere.
+
+Float determinism: per-(query,doc) term contributions are folded in
+ascending term order via ``aggregate(array_sort(collect_list(…)))`` so
+Spark and DuckDB produce bit-identical sums; the only cross-engine
+wobble left is libm ``ln`` (≤1 ulp), absorbed by round(score, 6) in the
+oracle-facing output.
+
+Semantics cloned from /root/reference/src/custom_rank_bm25.py:
+- BM25Plus.get_scores (:149-160): score(q,d) = Σ_{t∈q occurrences}
+  idf(t)·(δ + tf·(k1+1)/(k1·(1−b+b·dl/avgdl)+tf)); duplicate query
+  terms count once per occurrence; unseen terms idf→0; every doc gets
+  the δ-term for every query occurrence.
+- BM25Okapi.get_scores (:106-120): idf-floored variant, no δ.
+- top-k tie-break = reversed stable argsort → (score DESC, doc_id DESC)
+  (/root/reference/src/tfidf_classifier.py:48-49, src/utils.py:209).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25Params
+from ..functions.numeric import dlit as _fmt
+from ..functions.numeric import round_sql
+from ..functions.sqlgen import tokens_sql
+from . import stats
+
+
+def _tf_part(params: BM25Params) -> str:
+    """The per-(term,doc) matched-part kernel as a SQL formula string —
+    used verbatim by BOTH Spark (F.expr) and DuckDB so the parse trees
+    match.  For the plus variant the δ term is NOT included here: it is
+    owed to EVERY doc for every query occurrence, so it is added once
+    per query as the broadcast ``qconst`` (δ·Σ qtf·idf) instead —
+    algebraically identical to BM25Plus.get_scores
+    (/root/reference/src/custom_rank_bm25.py:158-159)."""
+    k1, b = _fmt(params.k1), _fmt(params.b)
+    if params.variant == "plus":
+        return (
+            f"((tf * ({k1} + 1)) / "
+            f"({k1} * (1 - {b} + {b} * dl / __avgdl__) + tf))"
+        )
+    return f"((tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / __avgdl__)))"
+
+
+def query_term_occurrences(queries: DataFrame, query_col: str = "query_text") -> DataFrame:
+    """(query_id, term, qtf) — occurrence counts; duplicates matter
+    (BM25 adds one contribution per occurrence)."""
+    from ..functions.text import tokenize
+
+    return (
+        queries.select("query_id", F.explode(tokenize(F.col(query_col))).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    params: BM25Params,
+    text_col: str = "content",
+    query_col: str = "query_text",
+    score_round: int | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) over ALL docs (reference scores the
+    whole corpus; zero-match docs get the per-query δ-constant)."""
+    spark = docs.sparkSession
+    n, avgdl = (
+        stats.doc_lengths(docs, text_col)
+        .agg(F.count("*"), F.sum("dl").cast("double") / F.count("*"))
+        .collect()[0]
+    )
+
+    dl = stats.doc_lengths(docs, text_col)
+    tf = stats.term_frequencies(docs, text_col)
+
+    if params.variant == "plus":
+        idf = stats.document_frequencies(docs, text_col).withColumn(
+            "idf", F.expr(f"ln({_fmt(n + 1)} / df)")
+        )
+    else:
+        raw = stats.document_frequencies(docs, text_col).withColumn(
+            "idf0",
+            F.expr(
+                f"ln(CAST({n} - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+                f"- ln(df + CAST(0.5 AS DOUBLE))"
+            ),
+        )
+        eps = params.epsilon * raw.agg(F.avg("idf0")).collect()[0][0]
+        idf = raw.withColumn("idf", F.expr(f"CASE WHEN idf0 < 0 THEN {_fmt(eps)} ELSE idf0 END"))
+
+    qocc = query_term_occurrences(queries, query_col)
+    # query terms hydrated with idf (0 for out-of-vocabulary terms)
+    qidf = qocc.join(F.broadcast(idf.select("term", "idf")), "term", "left").fillna(
+        {"idf": 0.0}
+    )
+
+    # per-query δ constant: δ · Σ_occurrences idf(t), folded in term order
+    if params.variant == "plus":
+        qconst = (
+            qidf.groupBy("query_id")
+            .agg(F.array_sort(F.collect_list(F.struct("term", (F.col("qtf") * F.col("idf")).alias("v")))).alias("a"))
+            .select(
+                "query_id",
+                F.expr(f"{_fmt(params.delta)} * aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)").alias(
+                    "qconst"
+                ),
+            )
+        )
+    else:
+        qconst = queries.select("query_id", F.lit(0.0).alias("qconst"))
+
+    tfpart = _tf_part(params).replace("__avgdl__", _fmt(avgdl))
+    matched = (
+        qidf.filter(F.col("idf") != 0)
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib", F.expr(f"qtf * idf * {tfpart}"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("a"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)").alias("ms"),
+        )
+    )
+
+    scores = (
+        dl.select("doc_id")
+        .crossJoin(F.broadcast(qconst))
+        .join(matched, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("qconst") + F.coalesce(F.col("ms"), F.lit(0.0))).alias("score"),
+        )
+    )
+    if score_round is not None:
+        scores = scores.withColumn("score", F.expr(round_sql("score", score_round)))
+    return scores
+
+
+def topk(scores: DataFrame, k: int) -> DataFrame:
+    """(query_id, doc_id, rank, score): rank 1 = best; tie-break
+    doc_id DESC = reversed stable argsort (T2 semantics)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    params: BM25Params,
+    k: int,
+    score_round: int | None = 6,
+    **kw,
+) -> DataFrame:
+    return topk(bm25_scores(docs, queries, params, score_round=score_round, **kw), k)
+
+
+# ---------------------------------------------------------------- SQL twin
+
+
+def bm25_topk_sql(
+    table: str,
+    queries_sql: str,
+    params: BM25Params,
+    k: int,
+    text_col: str = "text",
+    score_round: int = 6,
+) -> str:
+    """DuckDB oracle: same relational plan, same fold order, same
+    formula string.  ``queries_sql`` must yield (query_id, query_text).
+    """
+    toks = tokens_sql(text_col)
+    qtoks = tokens_sql("query_text")
+    tfp = _tf_part(params).replace("__avgdl__", "(SELECT avgdl FROM st)")
+    if params.variant == "plus":
+        idf_cte = (
+            "idf AS (SELECT term, ln((st.n + CAST(1.0 AS DOUBLE)) / df) AS idf FROM dfreq, st)"
+        )
+        qconst_cte = (
+            f"qconst AS (SELECT query_id, {_fmt(params.delta)} * "
+            f"list_reduce(list_prepend(0.0::DOUBLE, list(qtf * COALESCE(idf, 0.0) ORDER BY term)), "
+            f"(a, b) -> a + b) AS qconst "
+            f"FROM qocc LEFT JOIN idf USING (term) GROUP BY query_id)"
+        )
+    else:
+        idf_cte = (
+            "idf0 AS (SELECT term, ln(st.n - df + 0.5) - ln(df + 0.5) AS idf0 FROM dfreq, st), "
+            "eps AS (SELECT 0.25 * avg(idf0) AS e FROM idf0), "
+            "idf AS (SELECT term, CASE WHEN idf0 < 0 THEN eps.e ELSE idf0 END AS idf FROM idf0, eps)"
+        )
+        qconst_cte = "qconst AS (SELECT query_id, 0.0::DOUBLE AS qconst FROM q GROUP BY query_id)"
+    return f"""
+WITH q AS ({queries_sql}),
+tok AS (SELECT doc_id, {toks} AS toks FROM {table}),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM
+       (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{idf_cte},
+qocc AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM
+         (SELECT query_id, unnest({qtoks}) AS term FROM q) GROUP BY query_id, term),
+{qconst_cte},
+matched AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(contrib ORDER BY term)), (a, b) -> a + b) AS ms
+  FROM (SELECT qocc.query_id, tf.doc_id, tf.term,
+               qocc.qtf * idf.idf * {tfp} AS contrib
+        FROM qocc JOIN idf USING (term) JOIN tf USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id
+        WHERE idf.idf <> 0)
+  GROUP BY query_id, doc_id),
+scored AS (
+  SELECT query_id, d.doc_id,
+         {round_sql("qconst + COALESCE(ms, CAST(0.0 AS DOUBLE))", score_round)} AS score
+  FROM (SELECT doc_id FROM dl) d CROSS JOIN qconst
+  LEFT JOIN matched USING (query_id, doc_id))
+SELECT query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id DESC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
