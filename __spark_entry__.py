@@ -93,6 +93,32 @@ def _q_bm25okapi_topk(spark, sf_dir):
     return B.bm25_topk(docs, C.derived_queries(docs), _OKAPI, k=_K)
 
 
+def build_or_load_index(spark, sf_dir: str):
+    """Build (resume-aware) the packed inverted index for a testdata sf
+    dir under /tmp and return the loaded handle."""
+    from legal_text_retrieval_spark.config import IndexParams
+    from legal_text_retrieval_spark.index.builder import build_index
+    from legal_text_retrieval_spark.index.wand import FulltextIndex
+
+    root = f"/tmp/lts_index_v1/{Path(sf_dir.rstrip('/')).name}"
+    docs = _docs(spark, sf_dir)
+    paths = build_index(
+        spark, docs, root, IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
+    )
+    return FulltextIndex.load(spark, paths.root)
+
+
+def _q_bm25plus_topk_indexed(spark, sf_dir):
+    """Same query as bm25plus_topk but served from the compressed
+    posting index via the block-max WAND kernel — bit-identical scores
+    (tests/test_index_engine.py), same DuckDB oracle."""
+    from legal_text_retrieval_spark.index.wand import query_topk
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    index = build_or_load_index(spark, sf_dir)
+    return query_topk(index, C.derived_queries(_docs(spark, sf_dir)), k=_K, score_round=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -103,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_okapi": _q_idf_okapi,
         "bm25plus_topk": _q_bm25plus_topk,
         "bm25okapi_topk": _q_bm25okapi_topk,
+        "bm25plus_topk_indexed": _q_bm25plus_topk_indexed,
     }
 
 
@@ -121,4 +148,5 @@ def oracle_sql() -> dict[str, str]:
         "idf_okapi": stats.idf_okapi_sql("documents"),
         "bm25plus_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
         "bm25okapi_topk": B.bm25_topk_sql("documents", qsql, _OKAPI, _K),
+        "bm25plus_topk_indexed": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
     }

@@ -42,13 +42,26 @@ def main() -> None:
     timed("tokenize_stats", lambda: stats.corpus_stats(docs).collect())
     timed("term_tf_df", lambda: stats.document_frequencies(docs).count())
     timed(
-        "bm25plus_topk150",
+        "bm25plus_topk150_relational",
         lambda: B.bm25_topk(docs, queries_df, NORTH_STAR_BM25, k=150).count(),
     )
-    timed(
-        "bm25plus_topk10",
-        lambda: B.bm25_topk(docs, queries_df, NORTH_STAR_BM25, k=10).count(),
-    )
+
+    # packed-index path: SPIMI build (fresh) + block-max WAND queries
+    import shutil
+    import tempfile
+
+    from legal_text_retrieval_spark.config import IndexParams
+    from legal_text_retrieval_spark.index.builder import build_index
+    from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
+
+    idx_root = tempfile.mkdtemp(prefix="lts_bench_idx_")
+    iparams = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
+    timed("index_build", lambda: build_index(spark, docs, idx_root, iparams, resume=False))
+    index = FulltextIndex.load(spark, idx_root)
+    timed("wand_topk150", lambda: query_topk(index, queries_df, k=150).count())
+    timed("wand_topk10", lambda: query_topk(index, queries_df, k=10).count())
+    docs_per_sec = round(n_docs / timings["index_build"], 1)
+    shutil.rmtree(idx_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -61,6 +74,7 @@ def main() -> None:
                 "sf": sf,
                 "n_docs": n_docs,
                 "cpus": int(cpus),
+                "index_build_docs_per_sec": docs_per_sec,
             }
         )
     )

@@ -1,0 +1,281 @@
+"""SPIMI-style inverted-index build (SURVEY.md §7 M2; north_rule).
+
+Physical design, chosen for 10^12-file scale:
+
+- **Posting segments, not whole posting lists.** The shuffle key is
+  ``(term_id, seg_id = doc_id // segment_doc_window)``, so a group
+  never exceeds the doc window regardless of term df — high-df code
+  terms ("def", "import") can never create a hot reducer.  This IS the
+  skew handling demanded by the north rule: the salt is the docID
+  range, which (unlike a random salt) is also exactly what block-max
+  WAND wants — docID-sorted, range-aligned segments that can be merged
+  streamingly at query time.
+- **Two-phase agg for tf** (Catalyst partial+final) — the SPIMI
+  per-partition "local run" is the partial hash agg; the shuffle-merge
+  by term is the final agg + segment pack.
+- **Arrow-vectorized pack UDF only at the very end**: one
+  ``applyInPandas`` per (term, segment) group that delta+varint-packs
+  docIDs/tfs/dls and computes per-block max scores.  No per-row Python.
+- **Checkpoint-resumable**: each stage writes Parquet with _SUCCESS;
+  re-running skips completed stages (north_rule resumability).
+- **Integrity**: per-row sha256(content) stored at ingest and verified
+  against the source (input_hint).
+
+Replaces the reference's in-memory dict index
+(/root/reference/src/custom_rank_bm25.py:30-52) and pickle artifacts
+(/root/reference/src/data_generator.py:186-199,257-258).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import BM25Params, IndexParams
+from ..operators import stats as ops_stats
+from . import codec
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType()),
+        T.StructField("seg_id", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("doc_ids_enc", T.BinaryType()),
+        T.StructField("tfs_enc", T.BinaryType()),
+        T.StructField("dls_enc", T.BinaryType()),
+        T.StructField("block_first", T.ArrayType(T.LongType())),
+        T.StructField("block_last", T.ArrayType(T.LongType())),
+        T.StructField("block_max_tfpart", T.ArrayType(T.DoubleType())),
+        T.StructField("seg_max_tfpart", T.DoubleType()),
+        T.StructField("enc_bytes", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs(self) -> str:
+        return f"{self.root}/docs"
+
+    @property
+    def docstats(self) -> str:
+        return f"{self.root}/docstats"
+
+    @property
+    def dictionary(self) -> str:
+        return f"{self.root}/dictionary"
+
+    @property
+    def postings(self) -> str:
+        return f"{self.root}/postings"
+
+    @property
+    def manifest(self) -> str:
+        return f"{self.root}/manifest.json"
+
+    @property
+    def lineage(self) -> str:
+        return f"{self.root}/lineage"
+
+
+def _done(path: str) -> bool:
+    return Path(path, "_SUCCESS").exists()
+
+
+def _make_pack_fn(params: IndexParams, avgdl: float):
+    bs = params.block_size
+    window = params.segment_doc_window
+    p = params.bm25
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_id = int(pdf["term_id"].iloc[0])
+        seg_id = int(pdf["seg_id"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        base = seg_id * window
+        ids_enc = codec.encode_docids(doc_ids, base)
+        tfs_enc = codec.encode_varint(tfs)
+        dls_enc = codec.encode_varint(dls)
+        tfp = codec.tf_part(tfs, dls, p.k1, p.b, avgdl, p.variant)
+        n = len(doc_ids)
+        nblocks = (n + bs - 1) // bs
+        bf, bl, bm = [], [], []
+        for i in range(nblocks):
+            s, e = i * bs, min((i + 1) * bs, n)
+            bf.append(int(doc_ids[s]))
+            bl.append(int(doc_ids[e - 1]))
+            bm.append(float(tfp[s:e].max()))
+        return pd.DataFrame(
+            {
+                "term_id": [term_id],
+                "seg_id": [seg_id],
+                "n_docs": [n],
+                "doc_ids_enc": [ids_enc],
+                "tfs_enc": [tfs_enc],
+                "dls_enc": [dls_enc],
+                "block_first": [bf],
+                "block_last": [bl],
+                "block_max_tfpart": [bm],
+                "seg_max_tfpart": [float(tfp.max())],
+                "enc_bytes": [len(ids_enc) + len(tfs_enc) + len(dls_enc)],
+            }
+        )
+
+    return pack
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    params: IndexParams | None = None,
+    text_col: str = "content",
+    resume: bool = True,
+) -> IndexPaths:
+    """Build (or resume building) the full index under ``out_dir``.
+
+    ``docs`` must carry a dense int64 ``doc_id`` (see
+    sources.corpus.load_corpus for assignment from the Iceberg shape).
+    """
+    params = params or IndexParams()
+    paths = IndexPaths(out_dir)
+    manifest: dict = {"params": {**asdict(params.bm25), "block_size": params.block_size,
+                                 "segment_doc_window": params.segment_doc_window},
+                      "stages": {}}
+    if resume and Path(paths.manifest).exists():
+        manifest.update(json.loads(Path(paths.manifest).read_text()))
+
+    def stage(name: str, path: str, producer) -> DataFrame:
+        t0 = time.time()
+        if not (resume and _done(path)):
+            producer().write.mode("overwrite").parquet(path)
+            manifest["stages"][name] = {
+                "path": path,
+                "seconds": round(time.time() - t0, 3),
+                "resumed": False,
+            }
+        else:
+            manifest["stages"].setdefault(name, {"path": path, "seconds": 0.0})
+            manifest["stages"][name]["resumed"] = True
+        return spark.read.parquet(path)
+
+    # -- stage: docs (+ sha256 integrity column, input_hint invariant)
+    docs_cols = [c for c in ("doc_id", "repo", "path", "commit", "lang", text_col) if c in docs.columns]
+    docs_idx = stage(
+        "docs",
+        paths.docs,
+        lambda: docs.select(*docs_cols).withColumn(
+            "content_sha", F.sha2(F.col(text_col), 256)
+        ),
+    )
+
+    # -- stage: docstats
+    docstats = stage("docstats", paths.docstats, lambda: ops_stats.doc_lengths(docs_idx, text_col))
+    n_docs, total_tokens = docstats.agg(F.count("*"), F.sum("dl")).collect()[0]
+    avgdl = float(total_tokens) / n_docs
+    manifest["n_docs"] = int(n_docs)
+    manifest["total_tokens"] = int(total_tokens)
+    manifest["avgdl"] = avgdl
+
+    # -- stage: dictionary (term → dense term_id in lexical order + df + idf)
+    def make_dictionary():
+        dfreq = ops_stats.document_frequencies(docs_idx, text_col)
+        if params.bm25.variant == "plus":
+            idf = dfreq.withColumn("idf", F.expr(f"ln(CAST({n_docs + 1} AS DOUBLE) / df)"))
+        else:
+            raw = dfreq.withColumn(
+                "idf0",
+                F.expr(
+                    f"ln(CAST({n_docs} - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+                    f"- ln(df + CAST(0.5 AS DOUBLE))"
+                ),
+            )
+            eps = params.bm25.epsilon * raw.agg(F.avg("idf0")).collect()[0][0]
+            idf = raw.withColumn(
+                "idf", F.expr(f"CASE WHEN idf0 < 0 THEN CAST({eps!r} AS DOUBLE) ELSE idf0 END")
+            ).drop("idf0")
+        w = Window.orderBy("term")
+        return idf.withColumn("term_id", F.row_number().over(w).cast("long") - 1)
+
+    dictionary = stage("dictionary", paths.dictionary, make_dictionary)
+
+    # -- stage: postings (segment-partitioned, packed, block-max metadata)
+    def make_postings():
+        tf = ops_stats.term_frequencies(docs_idx, text_col)
+        flat = (
+            tf.join(F.broadcast(dictionary.select("term", "term_id")), "term")
+            .join(docstats, "doc_id")
+            .withColumn("seg_id", (F.col("doc_id") / params.segment_doc_window).cast("long"))
+            .select("term_id", "seg_id", "doc_id", "tf", "dl")
+        )
+        packed = flat.groupBy("term_id", "seg_id").applyInPandas(
+            _make_pack_fn(params, avgdl), POSTINGS_SCHEMA
+        )
+        # cluster by term_id for parquet row-group min/max pruning at query time
+        return packed.repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
+        ).sortWithinPartitions("term_id", "seg_id")
+
+    t0 = time.time()
+    postings = stage("postings", paths.postings, make_postings)
+
+    # -- lineage + metrics (north_rule: postings/sec, bytes, skew ratio)
+    if not (resume and _done(paths.lineage)):
+        lineage = postings.groupBy("term_id").agg(
+            F.sum("n_docs").alias("postings"),
+            F.sum("enc_bytes").alias("bytes"),
+            F.count("*").alias("segments"),
+        )
+        lineage.write.mode("overwrite").parquet(paths.lineage)
+    lineage = spark.read.parquet(paths.lineage)
+    agg = lineage.agg(
+        F.sum("postings"), F.sum("bytes"), F.max("postings"), F.avg("postings"), F.count("*")
+    ).collect()[0]
+    total_postings, total_bytes, max_term_postings, mean_term_postings, vocab = agg
+    seg_agg = postings.agg(F.max("n_docs"), F.avg("n_docs")).collect()[0]
+    build_secs = sum(s.get("seconds", 0) for s in manifest["stages"].values())
+    manifest.update(
+        {
+            "vocab_size": int(vocab),
+            "total_postings": int(total_postings),
+            "bytes_compressed": int(total_bytes),
+            "bytes_per_posting": round(total_bytes / max(1, total_postings), 3),
+            # skew before segment-salting (per-term posting-list sizes) vs
+            # after (per-shuffle-group sizes, hard-bounded by the window)
+            "skew_ratio_term": round(max_term_postings / max(1e-9, mean_term_postings), 2),
+            "skew_ratio_group": round(seg_agg[0] / max(1e-9, seg_agg[1]), 2),
+            "max_term_postings": int(max_term_postings),
+            "max_group_postings": int(seg_agg[0]),
+            "build_seconds": round(build_secs, 3),
+            "docs_per_sec": round(n_docs / max(1e-9, build_secs), 1),
+            "postings_per_sec": round(total_postings / max(1e-9, build_secs), 1),
+        }
+    )
+    Path(paths.manifest).write_text(json.dumps(manifest, indent=2))
+    return paths
+
+
+def verify_integrity(spark: SparkSession, paths: IndexPaths, source: DataFrame, text_col: str = "content") -> int:
+    """sha256(content) equality vs the source table, every row
+    (input_hint).  Returns the number of violating rows (0 = pass)."""
+    idx = spark.read.parquet(paths.docs).select("doc_id", "content_sha")
+    src = source.select("doc_id", F.sha2(F.col(text_col), 256).alias("src_sha"))
+    joined = idx.join(src, "doc_id", "full")
+    return joined.filter(
+        F.col("content_sha").isNull()
+        | F.col("src_sha").isNull()
+        | (F.col("content_sha") != F.col("src_sha"))
+    ).count()
