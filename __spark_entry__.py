@@ -119,6 +119,47 @@ def _q_bm25plus_topk_indexed(spark, sf_dir):
     return query_topk(index, C.derived_queries(_docs(spark, sf_dir)), k=_K, score_round=6)
 
 
+def _q_tfidf_weights(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.functions.numeric import round_sql
+    from legal_text_retrieval_spark.operators import tfidf as TF
+
+    return TF.tfidf_weights(_docs(spark, sf_dir)).withColumn(
+        "w", F.expr(round_sql("w", 9))
+    )
+
+
+def _q_tfidf_cosine_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import tfidf as TF
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return TF.tfidf_cosine_topk(docs, C.derived_queries(docs), k=_K)
+
+
+def _q_combine_weighted_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import combine as CB
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return CB.combine_weighted_topk(docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K)
+
+
+def _q_combine_interleave_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import combine as CB
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return CB.combine_interleave_topk(docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K)
+
+
+def _q_stopwords(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import tfidf as TF
+
+    return TF.stopwords_low_tfidf(_docs(spark, sf_dir), threshold=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -130,12 +171,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25plus_topk": _q_bm25plus_topk,
         "bm25okapi_topk": _q_bm25okapi_topk,
         "bm25plus_topk_indexed": _q_bm25plus_topk_indexed,
+        "tfidf_weights": _q_tfidf_weights,
+        "tfidf_cosine_topk": _q_tfidf_cosine_topk,
+        "combine_weighted_topk": _q_combine_weighted_topk,
+        "combine_interleave_topk": _q_combine_interleave_topk,
+        "stopwords_low_tfidf": _q_stopwords,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.operators import combine as CB
     from legal_text_retrieval_spark.operators import stats
+    from legal_text_retrieval_spark.operators import tfidf as TF
     from legal_text_retrieval_spark.sources.corpus import derived_queries_sql
 
     qsql = derived_queries_sql("documents")
@@ -149,4 +197,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25plus_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
         "bm25okapi_topk": B.bm25_topk_sql("documents", qsql, _OKAPI, _K),
         "bm25plus_topk_indexed": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
+        "tfidf_weights": TF.tfidf_weights_sql("documents"),
+        "tfidf_cosine_topk": TF.tfidf_cosine_topk_sql("documents", qsql, _K),
+        "combine_weighted_topk": CB.combine_weighted_topk_sql(
+            "documents", qsql, NORTH_STAR_BM25, _K
+        ),
+        "combine_interleave_topk": CB.combine_interleave_topk_sql(
+            "documents", qsql, NORTH_STAR_BM25, _K
+        ),
+        "stopwords_low_tfidf": TF.stopwords_low_tfidf_sql("documents", threshold=0.2),
     }

@@ -174,6 +174,75 @@ def bm25_topk(
 # ---------------------------------------------------------------- SQL twin
 
 
+def bm25_ctes(table: str, queries_sql: str, params: BM25Params, text_col: str = "text") -> str:
+    """Comma-joined DuckDB CTEs defining ``q(query_id, query_text)`` and
+    ``b_scored(query_id, doc_id, score)`` (unrounded full matrix) —
+    same relational plan, same fold order, same formula strings as the
+    Spark path, with all CTE names b_-prefixed for composability."""
+    toks = tokens_sql(text_col)
+    qtoks = tokens_sql("query_text")
+    tfp = _tf_part(params).replace("__avgdl__", "(SELECT avgdl FROM b_st)")
+    if params.variant == "plus":
+        idf_cte = (
+            "b_idf AS (SELECT term, ln((b_st.n + CAST(1.0 AS DOUBLE)) / df) AS idf "
+            "FROM b_dfreq, b_st)"
+        )
+        qconst_cte = (
+            f"b_qconst AS (SELECT query_id, {_fmt(params.delta)} * "
+            f"list_reduce(list_prepend(0.0::DOUBLE, list(qtf * COALESCE(idf, 0.0) ORDER BY term)), "
+            f"(a, b) -> a + b) AS qconst "
+            f"FROM b_qocc LEFT JOIN b_idf USING (term) GROUP BY query_id)"
+        )
+    else:
+        idf_cte = (
+            "b_idf0 AS (SELECT term, ln(b_st.n - df + 0.5) - ln(df + 0.5) AS idf0 FROM b_dfreq, b_st), "
+            "b_eps AS (SELECT 0.25 * avg(idf0) AS e FROM b_idf0), "
+            "b_idf AS (SELECT term, CASE WHEN idf0 < 0 THEN b_eps.e ELSE idf0 END AS idf FROM b_idf0, b_eps)"
+        )
+        qconst_cte = (
+            "b_qconst AS (SELECT query_id, 0.0::DOUBLE AS qconst FROM q GROUP BY query_id)"
+        )
+    return f"""q AS ({queries_sql}),
+b_tok AS (SELECT doc_id, {toks} AS toks FROM {table}),
+b_dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM b_tok),
+b_st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM b_dl),
+b_tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM
+       (SELECT doc_id, unnest(toks) AS term FROM b_tok) GROUP BY doc_id, term),
+b_dfreq AS (SELECT term, count(*) AS df FROM b_tf GROUP BY term),
+{idf_cte},
+b_qocc AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM
+         (SELECT query_id, unnest({qtoks}) AS term FROM q) GROUP BY query_id, term),
+{qconst_cte},
+b_matched AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(contrib ORDER BY term)), (a, b) -> a + b) AS ms
+  FROM (SELECT b_qocc.query_id, b_tf.doc_id, b_tf.term,
+               b_qocc.qtf * b_idf.idf * {tfp} AS contrib
+        FROM b_qocc JOIN b_idf USING (term) JOIN b_tf USING (term)
+             JOIN b_dl ON b_tf.doc_id = b_dl.doc_id
+        WHERE b_idf.idf <> 0)
+  GROUP BY query_id, doc_id),
+b_scored AS (
+  SELECT query_id, d.doc_id, qconst + COALESCE(ms, CAST(0.0 AS DOUBLE)) AS score
+  FROM (SELECT doc_id FROM b_dl) d CROSS JOIN b_qconst
+  LEFT JOIN b_matched USING (query_id, doc_id))"""
+
+
+def topk_sql(scored_cte: str, k: int, score_round: int | None = 6, with_score: bool = True) -> str:
+    """Shared SELECT wrapper: window top-k with argsort-parity
+    tie-break over the (optionally rounded) score."""
+    sc = round_sql("score", score_round) if score_round is not None else "score"
+    cols = "query_id, doc_id, rank, score" if with_score else "query_id, doc_id, rank"
+    return f"""
+SELECT {cols} FROM (
+  SELECT query_id, doc_id, {sc} AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY {sc} DESC, doc_id DESC) AS rank
+  FROM {scored_cte})
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def bm25_topk_sql(
     table: str,
     queries_sql: str,
@@ -182,59 +251,8 @@ def bm25_topk_sql(
     text_col: str = "text",
     score_round: int = 6,
 ) -> str:
-    """DuckDB oracle: same relational plan, same fold order, same
-    formula string.  ``queries_sql`` must yield (query_id, query_text).
-    """
-    toks = tokens_sql(text_col)
-    qtoks = tokens_sql("query_text")
-    tfp = _tf_part(params).replace("__avgdl__", "(SELECT avgdl FROM st)")
-    if params.variant == "plus":
-        idf_cte = (
-            "idf AS (SELECT term, ln((st.n + CAST(1.0 AS DOUBLE)) / df) AS idf FROM dfreq, st)"
-        )
-        qconst_cte = (
-            f"qconst AS (SELECT query_id, {_fmt(params.delta)} * "
-            f"list_reduce(list_prepend(0.0::DOUBLE, list(qtf * COALESCE(idf, 0.0) ORDER BY term)), "
-            f"(a, b) -> a + b) AS qconst "
-            f"FROM qocc LEFT JOIN idf USING (term) GROUP BY query_id)"
-        )
-    else:
-        idf_cte = (
-            "idf0 AS (SELECT term, ln(st.n - df + 0.5) - ln(df + 0.5) AS idf0 FROM dfreq, st), "
-            "eps AS (SELECT 0.25 * avg(idf0) AS e FROM idf0), "
-            "idf AS (SELECT term, CASE WHEN idf0 < 0 THEN eps.e ELSE idf0 END AS idf FROM idf0, eps)"
-        )
-        qconst_cte = "qconst AS (SELECT query_id, 0.0::DOUBLE AS qconst FROM q GROUP BY query_id)"
-    return f"""
-WITH q AS ({queries_sql}),
-tok AS (SELECT doc_id, {toks} AS toks FROM {table}),
-dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
-st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM
-       (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY doc_id, term),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-{idf_cte},
-qocc AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM
-         (SELECT query_id, unnest({qtoks}) AS term FROM q) GROUP BY query_id, term),
-{qconst_cte},
-matched AS (
-  SELECT query_id, doc_id,
-         list_reduce(list_prepend(0.0::DOUBLE, list(contrib ORDER BY term)), (a, b) -> a + b) AS ms
-  FROM (SELECT qocc.query_id, tf.doc_id, tf.term,
-               qocc.qtf * idf.idf * {tfp} AS contrib
-        FROM qocc JOIN idf USING (term) JOIN tf USING (term)
-             JOIN dl ON tf.doc_id = dl.doc_id
-        WHERE idf.idf <> 0)
-  GROUP BY query_id, doc_id),
-scored AS (
-  SELECT query_id, d.doc_id,
-         {round_sql("qconst + COALESCE(ms, CAST(0.0 AS DOUBLE))", score_round)} AS score
-  FROM (SELECT doc_id FROM dl) d CROSS JOIN qconst
-  LEFT JOIN matched USING (query_id, doc_id))
-SELECT query_id, doc_id, rank, score FROM (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id DESC) AS rank
-  FROM scored)
-WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
+    return (
+        "WITH "
+        + bm25_ctes(table, queries_sql, params, text_col)
+        + topk_sql("b_scored", k, score_round)
+    )
