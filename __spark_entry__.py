@@ -160,6 +160,74 @@ def _q_stopwords(spark, sf_dir):
     return TF.stopwords_low_tfidf(_docs(spark, sf_dir), threshold=0.2)
 
 
+_CHUNK = dict(size=30, stride=15)
+
+
+def _retrieved(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return B.bm25_topk(docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K)
+
+
+def _retrieved_ctes(with_score: bool = False) -> str:
+    """CTEs defining ``retrieved(query_id, doc_id[, rank, score])`` and
+    ``qrels`` on top of the bm25 CTE chain."""
+    from legal_text_retrieval_spark.functions.numeric import round_sql
+    from legal_text_retrieval_spark.operators.bm25 import bm25_ctes
+    from legal_text_retrieval_spark.sources.corpus import derived_qrels_sql, derived_queries_sql
+
+    sc = round_sql("score", 6)
+    cols = "query_id, doc_id, rank, score" if with_score else "query_id, doc_id"
+    return (
+        bm25_ctes("documents", derived_queries_sql("documents"), NORTH_STAR_BM25)
+        + f""",
+retrieved AS (
+  SELECT {cols} FROM (
+    SELECT query_id, doc_id, {sc} AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY {sc} DESC, doc_id DESC) AS rank
+    FROM b_scored) WHERE rank <= {_K}),
+qrels AS ({derived_qrels_sql("documents")})"""
+    )
+
+
+def _q_chunk_documents(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.chunk import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), **_CHUNK)
+
+
+def _q_pair_generation(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.pairs import generate_pairs
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return generate_pairs(_retrieved(spark, sf_dir), C.derived_qrels(docs))
+
+
+def _q_eval_micro(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.evaluate import micro_eval
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return micro_eval(_retrieved(spark, sf_dir), C.derived_qrels(docs))
+
+
+def _q_eval_per_query(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.evaluate import per_query_eval
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return per_query_eval(_retrieved(spark, sf_dir), C.derived_qrels(docs))
+
+
+def _q_trec_run_lines(spark, sf_dir):
+    from legal_text_retrieval_spark.sources.sinks import trec_run_lines
+
+    return trec_run_lines(_retrieved(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -176,14 +244,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_weighted_topk": _q_combine_weighted_topk,
         "combine_interleave_topk": _q_combine_interleave_topk,
         "stopwords_low_tfidf": _q_stopwords,
+        "chunk_documents": _q_chunk_documents,
+        "pair_generation": _q_pair_generation,
+        "eval_micro": _q_eval_micro,
+        "eval_per_query": _q_eval_per_query,
+        "trec_run_lines": _q_trec_run_lines,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from legal_text_retrieval_spark.operators import bm25 as B
     from legal_text_retrieval_spark.operators import combine as CB
+    from legal_text_retrieval_spark.operators import evaluate as EV
     from legal_text_retrieval_spark.operators import stats
     from legal_text_retrieval_spark.operators import tfidf as TF
+    from legal_text_retrieval_spark.operators.chunk import chunk_documents_sql
+    from legal_text_retrieval_spark.sources import sinks as SK
     from legal_text_retrieval_spark.sources.corpus import derived_queries_sql
 
     qsql = derived_queries_sql("documents")
@@ -206,4 +282,33 @@ def oracle_sql() -> dict[str, str]:
             "documents", qsql, NORTH_STAR_BM25, _K
         ),
         "stopwords_low_tfidf": TF.stopwords_low_tfidf_sql("documents", threshold=0.2),
+        "chunk_documents": chunk_documents_sql("documents", **_CHUNK),
+        "pair_generation": (
+            "WITH "
+            + _retrieved_ctes()
+            + """
+SELECT query_id, doc_id,
+       CASE WHEN g.gdoc IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS label
+FROM retrieved r LEFT JOIN (SELECT query_id, doc_id, doc_id AS gdoc FROM qrels) g USING (query_id, doc_id)
+UNION ALL
+SELECT query_id, doc_id, 1::BIGINT AS label
+FROM qrels g2 LEFT JOIN (SELECT query_id, doc_id, 1 AS hit FROM retrieved) r2
+USING (query_id, doc_id) WHERE r2.hit IS NULL
+"""
+        ),
+        "eval_micro": EV.micro_eval_sql(
+            "SELECT query_id, doc_id FROM retrieved",
+            "SELECT query_id, doc_id FROM qrels",
+            extra_ctes=_retrieved_ctes(),
+        ),
+        "eval_per_query": EV.per_query_eval_sql(
+            "SELECT query_id, doc_id FROM retrieved",
+            "SELECT query_id, doc_id FROM qrels",
+            extra_ctes=_retrieved_ctes(),
+        ),
+        "trec_run_lines": (
+            "WITH "
+            + _retrieved_ctes(with_score=True)
+            + SK.trec_run_lines_sql("SELECT query_id, doc_id, rank, score FROM retrieved")
+        ),
     }

@@ -1,0 +1,120 @@
+"""E1-E6: retrieval / end-task evaluation aggregations (SURVEY.md §2.7).
+
+Relational clones of /root/reference/src/utils.py:
+- f_score (:77-79), micro_result (:82-95), evaluate_idx (:158-186)
+- aggregate_all_results per-query macro stats (:400-555)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dlit, round_sql
+
+
+def _fbeta(p: str, r: str, beta: float) -> str:
+    """f_score formula string (utils.py:77-79): (1+β²)·p·r / (β²·p+r),
+    0 when the denominator is 0."""
+    b2 = dlit(beta * beta)
+    return (
+        f"CASE WHEN ({b2} * {p} + {r}) = 0 THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE (1 + {b2}) * {p} * {r} / ({b2} * {p} + {r}) END"
+    )
+
+
+def micro_eval(pred: DataFrame, qrels: DataFrame) -> DataFrame:
+    """E2/E3: one row (n_gold, n_pred, n_true, p, r, f1, f2) — micro
+    counts over predicted-positive pairs vs gold pairs."""
+    pos = pred.filter(F.col("label") == 1) if "label" in pred.columns else pred
+    pos = pos.select("query_id", "doc_id").distinct()
+    gold = qrels.select("query_id", "doc_id").distinct()
+    true = pos.join(gold, ["query_id", "doc_id"], "inner")
+    n_pred, n_gold, n_true = pos.count(), gold.count(), true.count()
+    spark = pred.sparkSession
+    p = f"CASE WHEN {n_pred} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST({n_true} AS DOUBLE) / {n_pred} END"
+    r = f"CASE WHEN {n_gold} = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST({n_true} AS DOUBLE) / {n_gold} END"
+    return spark.range(1).select(
+        F.lit(n_gold).cast("long").alias("n_gold"),
+        F.lit(n_pred).cast("long").alias("n_pred"),
+        F.lit(n_true).cast("long").alias("n_true"),
+        F.expr(round_sql(p, 9)).alias("p"),
+        F.expr(round_sql(r, 9)).alias("r"),
+        F.expr(round_sql(_fbeta(f"({p})", f"({r})", 1.0), 9)).alias("f1"),
+        F.expr(round_sql(_fbeta(f"({p})", f"({r})", 2.0), 9)).alias("f2"),
+    )
+
+
+def micro_eval_sql(pred_sql: str, qrels_sql: str, extra_ctes: str = "") -> str:
+    lead = f"{extra_ctes}," if extra_ctes else ""
+    return f"""
+WITH {lead}
+pos AS (SELECT DISTINCT query_id, doc_id FROM ({pred_sql})),
+gold AS (SELECT DISTINCT query_id, doc_id FROM ({qrels_sql})),
+c AS (SELECT
+        (SELECT count(*) FROM gold)::BIGINT AS n_gold,
+        (SELECT count(*) FROM pos)::BIGINT AS n_pred,
+        (SELECT count(*) FROM pos JOIN gold USING (query_id, doc_id))::BIGINT AS n_true),
+pr AS (SELECT n_gold, n_pred, n_true,
+        CASE WHEN n_pred = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_pred END AS p,
+        CASE WHEN n_gold = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_gold END AS r
+       FROM c)
+SELECT n_gold, n_pred, n_true, {round_sql("p", 9)} AS p, {round_sql("r", 9)} AS r,
+       {round_sql(_fbeta("p", "r", 1.0), 9)} AS f1,
+       {round_sql(_fbeta("p", "r", 2.0), 9)} AS f2
+FROM pr
+"""
+
+
+def per_query_eval(pred: DataFrame, qrels: DataFrame) -> DataFrame:
+    """E6: (query_id, n_gold, n_pred, n_true, p, r, f2) per query —
+    aggregate_all_results' per-query stats (utils.py:400-555)."""
+    pos = pred.filter(F.col("label") == 1) if "label" in pred.columns else pred
+    pos = pos.select("query_id", "doc_id").distinct()
+    gold = qrels.select("query_id", "doc_id").distinct()
+    np_ = pos.groupBy("query_id").agg(F.count("*").alias("n_pred"))
+    ng = gold.groupBy("query_id").agg(F.count("*").alias("n_gold"))
+    nt = (
+        pos.join(gold, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+    )
+    j = (
+        ng.join(np_, "query_id", "full")
+        .join(nt, "query_id", "left")
+        .fillna({"n_pred": 0, "n_gold": 0, "n_true": 0})
+    )
+    p = "CASE WHEN n_pred = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_pred END"
+    r = "CASE WHEN n_gold = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_gold END"
+    return j.select(
+        "query_id",
+        F.col("n_gold").cast("long"),
+        F.col("n_pred").cast("long"),
+        F.col("n_true").cast("long"),
+        F.expr(round_sql(p, 9)).alias("p"),
+        F.expr(round_sql(r, 9)).alias("r"),
+        F.expr(round_sql(_fbeta(f"({p})", f"({r})", 2.0), 9)).alias("f2"),
+    )
+
+
+def per_query_eval_sql(pred_sql: str, qrels_sql: str, extra_ctes: str = "") -> str:
+    p = "CASE WHEN n_pred = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_pred END"
+    r = "CASE WHEN n_gold = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_gold END"
+    lead = f"{extra_ctes}," if extra_ctes else ""
+    return f"""
+WITH {lead}
+pos AS (SELECT DISTINCT query_id, doc_id FROM ({pred_sql})),
+gold AS (SELECT DISTINCT query_id, doc_id FROM ({qrels_sql})),
+np AS (SELECT query_id, count(*) AS n_pred FROM pos GROUP BY query_id),
+ng AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY query_id),
+nt AS (SELECT query_id, count(*) AS n_true FROM pos JOIN gold USING (query_id, doc_id) GROUP BY query_id),
+j AS (SELECT query_id,
+             COALESCE(n_gold, 0)::BIGINT AS n_gold,
+             COALESCE(n_pred, 0)::BIGINT AS n_pred,
+             COALESCE(n_true, 0)::BIGINT AS n_true
+      FROM ng FULL JOIN np USING (query_id) LEFT JOIN nt USING (query_id))
+SELECT query_id, n_gold, n_pred, n_true,
+       {round_sql(p, 9)} AS p, {round_sql(r, 9)} AS r,
+       {round_sql(_fbeta(f"({p})", f"({r})", 2.0), 9)} AS f2
+FROM j ORDER BY query_id
+"""

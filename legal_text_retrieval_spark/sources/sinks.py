@@ -1,0 +1,59 @@
+"""Sinks S6-S11 (SURVEY.md §2.1): TREC run file, MRPC/CoLA training
+CSVs, submission JSON — all plain ``df.write``; the line/row formats
+clone the reference byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def trec_run_lines(ranked: DataFrame, tag: str = "JNLP") -> DataFrame:
+    """S9: ``qid Q0 docid rank score TAG`` lines
+    (/root/reference/src/utils.py:594-601).  Score fixed to 6 decimals
+    for cross-engine byte stability."""
+    return ranked.select(
+        F.format_string(
+            f"%s Q0 %s %d %.6f {tag}",
+            F.col("query_id").cast("string"),
+            F.col("doc_id").cast("string"),
+            F.col("rank").cast("int"),
+            F.col("score"),
+        ).alias("line")
+    )
+
+
+def trec_run_lines_sql(ranked_sql: str, tag: str = "JNLP") -> str:
+    return f"""
+SELECT printf('%s Q0 %s %d %.6f {tag}',
+              query_id::VARCHAR, doc_id::VARCHAR, rank::INTEGER, score) AS line
+FROM ({ranked_sql})
+ORDER BY line
+"""
+
+
+def write_trec_run(ranked: DataFrame, path: str, tag: str = "JNLP") -> None:
+    trec_run_lines(ranked, tag).coalesce(1).write.mode("overwrite").text(path)
+
+
+def mrpc_rows(pairs_hydrated: DataFrame) -> DataFrame:
+    """S6: MRPC-format training rows
+    (label, #1 ID, #2 ID, sentence1, sentence2) with newline scrub (P8)
+    (/root/reference/src/data_generator.py:108-123)."""
+    return pairs_hydrated.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("query_id").cast("string").alias("id1"),
+        F.col("doc_id").cast("string").alias("id2"),
+        F.regexp_replace(F.col("sentence1"), "\n", " ").alias("sentence1"),
+        F.regexp_replace(F.col("sentence2"), "\n", " ").alias("sentence2"),
+    )
+
+
+def write_mrpc_csv(pairs_hydrated: DataFrame, path: str) -> None:
+    mrpc_rows(pairs_hydrated).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_submission_json(predictions: DataFrame, path: str) -> None:
+    """S10: one JSON object per row (/root/reference/src/infer.py:336-348)."""
+    predictions.write.mode("overwrite").json(path)
