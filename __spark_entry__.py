@@ -228,6 +228,76 @@ def _q_trec_run_lines(spark, sf_dir):
     return trec_run_lines(_retrieved(spark, sf_dir))
 
 
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_embedding_cosine_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir))
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir))
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(_emb(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_language_id(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_quality_scores(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -249,13 +319,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_micro": _q_eval_micro,
         "eval_per_query": _q_eval_per_query,
         "trec_run_lines": _q_trec_run_lines,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "simhash": _q_simhash,
+        "embedding_cosine_topk": _q_embedding_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "token_counts": _q_token_counts,
+        "language_id": _q_language_id,
+        "quality_scores": _q_quality_scores,
+        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from legal_text_retrieval_spark.operators import bm25 as B
     from legal_text_retrieval_spark.operators import combine as CB
+    from legal_text_retrieval_spark.operators import dedup as DD
     from legal_text_retrieval_spark.operators import evaluate as EV
+    from legal_text_retrieval_spark.operators import similarity as SIM
+    from legal_text_retrieval_spark.operators import textstats as TS
     from legal_text_retrieval_spark.operators import stats
     from legal_text_retrieval_spark.operators import tfidf as TF
     from legal_text_retrieval_spark.operators.chunk import chunk_documents_sql
@@ -311,4 +395,15 @@ USING (query_id, doc_id) WHERE r2.hit IS NULL
             + _retrieved_ctes(with_score=True)
             + SK.trec_run_lines_sql("SELECT query_id, doc_id, rank, score FROM retrieved")
         ),
+        "dedup_exact": DD.dedup_exact_sql("documents"),
+        "dedup_ngram_jaccard": DD.dedup_ngram_jaccard_sql("documents"),
+        "dedup_minhash_lsh": DD.dedup_minhash_lsh_sql("documents"),
+        "simhash": DD.simhash_sql("documents"),
+        "embedding_cosine_topk": SIM.cosine_topk_sql("embeddings"),
+        "ann_lsh_topk": SIM.ann_lsh_topk_sql("embeddings"),
+        "embedding_near_dup": SIM.near_dup_pairs_sql("embeddings"),
+        "token_counts": TS.token_counts_sql("documents"),
+        "language_id": TS.language_id_sql("documents"),
+        "quality_scores": TS.quality_scores_sql("documents"),
+        "doc_fingerprint": TS.fingerprint_sql("documents"),
     }

@@ -1,0 +1,248 @@
+"""Deduplication suite for large-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB corpus):
+- exact: one hash-groupBy (two-phase agg), no full-text shuffle — only
+  (sha, doc_id) pairs move.
+- MinHash+LSH: signatures are a single explode+groupBy pass; the
+  candidate join is banded (equi-join on (band, key) — shuffle is
+  bounded by bucket sizes, not n²); exact Jaccard verifies candidates
+  only.
+- n-gram Jaccard all-pairs is the small-scale oracle / verification
+  kernel — at scale it runs only on LSH candidates.
+- SimHash: near-dup fingerprint via Hamming distance on 32-bit
+  signatures; bit-bucket join strategy for scale.
+
+All hashes derive from md5 prefixes (functions.text.md5_hash60) so
+Spark and DuckDB agree exactly; everything is integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dlit, round_sql
+from ..functions.sqlgen import md5_hash60_sql, tokens_sql
+from ..functions.text import md5_hash60, shingle_expr, tokenize
+
+# MinHash permutation parameters: (a_i·h + b_i) mod P over the 60-bit
+# base hash reduced mod P.  P prime > 2^32; a_i < 2^20 keeps a·h < 2^53.
+_P = 4294967311
+_NPERM = 16
+_BANDS = 8  # × 2 rows/band
+_A = [131071 + 2 * i + 1 for i in range(_NPERM)]  # odd, deterministic
+_B = [(2654435761 * (i + 1)) % _P for i in range(_NPERM)]
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """(content_sha, n_dups, keep_doc_id) — exact duplicate groups;
+    keep the smallest doc_id per group."""
+    return (
+        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def dedup_exact_sql(table: str, text_col: str = "text") -> str:
+    return (
+        f"SELECT sha256({text_col}) AS content_sha, count(*)::BIGINT AS n_dups, "
+        f"min(doc_id) AS keep_doc_id FROM {table} GROUP BY 1 ORDER BY 1"
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "content") -> DataFrame:
+    """(doc_id, shingle) distinct n-token shingles of the BM25 token
+    stream; short docs yield one whole-doc shingle."""
+    return (
+        docs.select("doc_id", tokenize(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.explode(shingle_expr("toks", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingles_sql(table: str, n: int, text_col: str) -> str:
+    t = tokens_sql(text_col)
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) < {n}
+    THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(generate_series(1, len(toks) - {n} + 1), i -> {parts}) END) AS shingle
+  FROM (SELECT doc_id, {t} AS toks FROM {table}))
+"""
+
+
+def dedup_ngram_jaccard(
+    docs: DataFrame, n: int = 3, threshold: float = 0.04, text_col: str = "content"
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) all-pairs shingle Jaccard ≥ threshold.
+    The exact verification kernel; at scale feed LSH candidates instead
+    of self-joining the full corpus."""
+    sh = doc_shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.expr(round_sql("CAST(inter AS DOUBLE) / (sza + szb - inter)", 9)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_ngram_jaccard_sql(
+    table: str, n: int = 3, threshold: float = 0.04, text_col: str = "text"
+) -> str:
+    return f"""
+WITH sh AS ({_shingles_sql(table, n, text_col)}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         {round_sql("CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)", 9)} AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
+WHERE jaccard >= {dlit(threshold)}
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "content") -> DataFrame:
+    """(doc_id, mh0..mh{15}) MinHash signature from shingle hashes."""
+    sh = doc_shingles(docs, n, text_col).withColumn(
+        "h", md5_hash60(F.col("shingle")) % _P
+    )
+    aggs = [
+        F.min(F.expr(f"({_A[i]} * h + {_B[i]}) % {_P}")).alias(f"mh{i}")
+        for i in range(_NPERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures_sql(table: str, n: int, text_col: str) -> str:
+    h = md5_hash60_sql("shingle")
+    mins = ", ".join(
+        f"min(({_A[i]} * (({h}) % {_P}) + {_B[i]}) % {_P}) AS mh{i}" for i in range(_NPERM)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_shingles_sql(table, n, text_col)}) GROUP BY doc_id"
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame, n: int = 3, threshold: float = 0.04, text_col: str = "content"
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): banded-LSH candidates (8 bands × 2 rows)
+    verified with exact shingle Jaccard ≥ threshold.
+
+    At scale the band join shuffles only (band, key, doc_id) rows and
+    the verify join touches only candidate docs."""
+    sig = minhash_signatures(docs, n, text_col)
+    bands = None
+    for b in range(_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = dedup_ngram_jaccard(docs, n, threshold, text_col)
+    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def dedup_minhash_lsh_sql(
+    table: str, n: int = 3, threshold: float = 0.04, text_col: str = "text"
+) -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b}::VARCHAR || '_' || mh{2 * b + 1}::VARCHAR AS key FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH sh AS ({_shingles_sql(table, n, text_col)}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sig AS ({_signatures_sql(table, n, text_col)}),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y USING (band, key) WHERE x.doc_id < y.doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         {round_sql("CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)", 9)} AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b)
+WHERE jaccard >= {dlit(threshold)}
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "content") -> DataFrame:
+    """(doc_id, simhash) — tf-weighted hyperbit fingerprint.  All
+    integer arithmetic; strict s_b > 0 sets the bit."""
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", md5_hash60(F.col("term")))
+    )
+    bitsum = (
+        tf.select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b"),
+        )
+        .withColumn(
+            "s",
+            F.expr("tf * (2 * (shiftright(h, CAST(b AS INT)) % 2) - 1)"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("sb"))
+    )
+    return (
+        bitsum.withColumn(
+            "bitval", F.expr("CASE WHEN sb > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_sql(table: str, bits: int = 32, text_col: str = "text") -> str:
+    h = md5_hash60_sql("term")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, {h} AS h
+  FROM (SELECT doc_id, unnest({tokens_sql(text_col)}) AS term FROM {table})
+  GROUP BY doc_id, term),
+bitsum AS (
+  SELECT doc_id, b, sum(tf * (2 * ((h >> b) % 2) - 1)) AS sb
+  FROM tf, unnest(generate_series(0, {bits - 1})) AS t(b)
+  GROUP BY doc_id, b)
+SELECT doc_id, sum(CASE WHEN sb > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
+FROM bitsum GROUP BY doc_id ORDER BY doc_id
+"""
