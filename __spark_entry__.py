@@ -298,6 +298,55 @@ def _q_doc_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _model_topk_sql(scored_cte: str) -> str:
+    """Model output for the ensemble oracle: top-K rows of a scored CTE
+    with pred = rank <= _PRED_RANK."""
+    from legal_text_retrieval_spark.functions.numeric import round_sql
+
+    sc = round_sql("score", 6)
+    return f"""
+SELECT query_id, doc_id, score, (CASE WHEN rank <= {_PRED_RANK} THEN 1 ELSE 0 END)::BIGINT AS pred
+FROM (
+  SELECT query_id, doc_id, {sc} AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY {sc} DESC, doc_id DESC) AS rank
+  FROM {scored_cte})
+WHERE rank <= {_K}
+"""
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.multimodal import payload_features
+
+    return payload_features(_docs(spark, sf_dir))
+
+
+_PRED_RANK = 3
+
+
+def _model_dfs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.operators import tfidf as TF
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    q = C.derived_queries(docs)
+    pred = (F.col("rank") <= _PRED_RANK).cast("long").alias("pred")
+    m1 = B.bm25_topk(docs, q, NORTH_STAR_BM25, k=_K).select("query_id", "doc_id", "score", pred)
+    m2 = TF.tfidf_cosine_topk(docs, q, k=_K).select("query_id", "doc_id", "score", pred)
+    return [m1, m2]
+
+
+def _q_ensemble(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.ensemble import (
+        ensemble_predictions,
+        with_negative_fallback,
+    )
+
+    return with_negative_fallback(ensemble_predictions(_model_dfs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -330,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "doc_fingerprint": _q_doc_fingerprint,
+        "multimodal_features": _q_multimodal_features,
+        "ensemble_predictions": _q_ensemble,
     }
 
 
@@ -337,7 +388,9 @@ def oracle_sql() -> dict[str, str]:
     from legal_text_retrieval_spark.operators import bm25 as B
     from legal_text_retrieval_spark.operators import combine as CB
     from legal_text_retrieval_spark.operators import dedup as DD
+    from legal_text_retrieval_spark.operators import ensemble as EN
     from legal_text_retrieval_spark.operators import evaluate as EV
+    from legal_text_retrieval_spark.operators import multimodal as MM
     from legal_text_retrieval_spark.operators import similarity as SIM
     from legal_text_retrieval_spark.operators import textstats as TS
     from legal_text_retrieval_spark.operators import stats
@@ -406,4 +459,13 @@ USING (query_id, doc_id) WHERE r2.hit IS NULL
         "language_id": TS.language_id_sql("documents"),
         "quality_scores": TS.quality_scores_sql("documents"),
         "doc_fingerprint": TS.fingerprint_sql("documents"),
+        "multimodal_features": MM.payload_features_sql("documents"),
+        "ensemble_predictions": EN.ensemble_sql(
+            [
+                "WITH "
+                + B.bm25_ctes("documents", qsql, NORTH_STAR_BM25)
+                + _model_topk_sql("b_scored"),
+                "WITH " + TF.cosine_ctes("documents", qsql) + _model_topk_sql("c_scored"),
+            ]
+        ),
     }
