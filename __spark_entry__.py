@@ -314,6 +314,33 @@ WHERE rank <= {_K}
 """
 
 
+def _q_train_test_split(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.pairs import train_test_split
+
+    return train_test_split(_docs(spark, sf_dir))
+
+
+def _q_bm25_subset_scores(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.functions.numeric import round_sql
+    from legal_text_retrieval_spark.operators.bm25 import bm25_scores_subset
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return bm25_scores_subset(
+        docs, C.derived_queries(docs), C.derived_qrels(docs), NORTH_STAR_BM25
+    ).withColumn("score", F.expr(round_sql("score", 6)))
+
+
+def _q_eval_macro(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.evaluate import macro_eval
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return macro_eval(_retrieved(spark, sf_dir), C.derived_qrels(docs))
+
+
 def _q_multimodal_features(spark, sf_dir):
     from legal_text_retrieval_spark.operators.multimodal import payload_features
 
@@ -381,6 +408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "multimodal_features": _q_multimodal_features,
         "ensemble_predictions": _q_ensemble,
+        "train_test_split": _q_train_test_split,
+        "bm25_subset_scores": _q_bm25_subset_scores,
+        "eval_macro": _q_eval_macro,
     }
 
 
@@ -390,7 +420,9 @@ def oracle_sql() -> dict[str, str]:
     from legal_text_retrieval_spark.operators import dedup as DD
     from legal_text_retrieval_spark.operators import ensemble as EN
     from legal_text_retrieval_spark.operators import evaluate as EV
+    from legal_text_retrieval_spark.functions.numeric import round_sql
     from legal_text_retrieval_spark.operators import multimodal as MM
+    from legal_text_retrieval_spark.operators import pairs as PR
     from legal_text_retrieval_spark.operators import similarity as SIM
     from legal_text_retrieval_spark.operators import textstats as TS
     from legal_text_retrieval_spark.operators import stats
@@ -460,6 +492,21 @@ USING (query_id, doc_id) WHERE r2.hit IS NULL
         "quality_scores": TS.quality_scores_sql("documents"),
         "doc_fingerprint": TS.fingerprint_sql("documents"),
         "multimodal_features": MM.payload_features_sql("documents"),
+        "train_test_split": PR.train_test_split_sql("documents"),
+        "bm25_subset_scores": (
+            "WITH "
+            + _retrieved_ctes()
+            + f"""
+SELECT b.query_id, b.doc_id, {round_sql("b.score", 6)} AS score
+FROM b_scored b
+WHERE EXISTS (SELECT 1 FROM qrels g WHERE g.query_id = b.query_id AND g.doc_id = b.doc_id)
+"""
+        ),
+        "eval_macro": EV.macro_eval_sql(
+            "SELECT query_id, doc_id FROM retrieved",
+            "SELECT query_id, doc_id FROM qrels",
+            extra_ctes=_retrieved_ctes(),
+        ),
         "ensemble_predictions": EN.ensemble_sql(
             [
                 "WITH "

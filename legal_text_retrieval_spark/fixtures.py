@@ -61,6 +61,30 @@ def make_corpus(n_docs: int, seed: int = 42, punct_frac: float = 0.02) -> pd.Dat
     return pd.DataFrame(rows)
 
 
+def make_corpus_fast(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Vectorized corpus generator for the scaling benchmark (single
+    RNG draw; same shape/distribution as make_corpus but ~100× faster;
+    not per-doc-seed compatible with it)."""
+    rng = np.random.default_rng(seed)
+    weights = _zipf_weights(len(_VOCAB))
+    lens = (5 + (400 - 5) * rng.random(n_docs) ** 3).astype(np.int64)
+    toks = rng.choice(np.array(_VOCAB), size=int(lens.sum()), p=weights)
+    bounds = np.cumsum(lens)[:-1]
+    contents = [" ".join(c) for c in np.split(toks, bounds)]
+    idx = np.arange(n_docs)
+    langs = np.array(_LANGS)[idx % len(_LANGS)]
+    return pd.DataFrame(
+        {
+            "doc_id": idx,
+            "repo": pd.Series(idx % 7).map(lambda i: f"org{i}") + "/" + pd.Series(idx % 23).map(lambda i: f"repo{i}"),
+            "path": [f"src/mod{i % 11}/file_{i}.{_EXT[langs[i]]}" for i in idx],
+            "commit": [hashlib.sha256(f"commit{i}".encode()).hexdigest()[:40] for i in idx],
+            "lang": langs,
+            "content": contents,
+        }
+    )
+
+
 def make_queries(n_queries: int, seed: int = 4242) -> pd.DataFrame:
     """Query set: ~20% duplicate-term, ~10% OOV-term, ~10% punctuation
     /double-space queries (FIXTURES.md §2)."""

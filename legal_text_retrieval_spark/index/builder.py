@@ -93,46 +93,94 @@ def _done(path: str) -> bool:
     return Path(path, "_SUCCESS").exists()
 
 
-def _make_pack_fn(params: IndexParams, avgdl: float):
+def _pack_group(term_id, seg_id, doc_ids, tfs, dls, params: IndexParams, avgdl: float):
+    """Pack one (term, segment) group of docID-sorted postings."""
     bs = params.block_size
-    window = params.segment_doc_window
     p = params.bm25
+    base = int(seg_id) * params.segment_doc_window
+    ids_enc = codec.encode_docids(doc_ids, base)
+    tfs_enc = codec.encode_varint(tfs)
+    dls_enc = codec.encode_varint(dls)
+    tfp = codec.tf_part(tfs, dls, p.k1, p.b, avgdl, p.variant)
+    n = len(doc_ids)
+    nblocks = (n + bs - 1) // bs
+    bf, bl, bm = [], [], []
+    for i in range(nblocks):
+        s, e = i * bs, min((i + 1) * bs, n)
+        bf.append(int(doc_ids[s]))
+        bl.append(int(doc_ids[e - 1]))
+        bm.append(float(tfp[s:e].max()))
+    return {
+        "term_id": int(term_id),
+        "seg_id": int(seg_id),
+        "n_docs": n,
+        "doc_ids_enc": ids_enc,
+        "tfs_enc": tfs_enc,
+        "dls_enc": dls_enc,
+        "block_first": bf,
+        "block_last": bl,
+        "block_max_tfpart": bm,
+        "seg_max_tfpart": float(tfp.max()),
+        "enc_bytes": len(ids_enc) + len(tfs_enc) + len(dls_enc),
+    }
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        term_id = int(pdf["term_id"].iloc[0])
-        seg_id = int(pdf["seg_id"].iloc[0])
-        pdf = pdf.sort_values("doc_id")
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
-        base = seg_id * window
-        ids_enc = codec.encode_docids(doc_ids, base)
-        tfs_enc = codec.encode_varint(tfs)
-        dls_enc = codec.encode_varint(dls)
-        tfp = codec.tf_part(tfs, dls, p.k1, p.b, avgdl, p.variant)
-        n = len(doc_ids)
-        nblocks = (n + bs - 1) // bs
-        bf, bl, bm = [], [], []
-        for i in range(nblocks):
-            s, e = i * bs, min((i + 1) * bs, n)
-            bf.append(int(doc_ids[s]))
-            bl.append(int(doc_ids[e - 1]))
-            bm.append(float(tfp[s:e].max()))
-        return pd.DataFrame(
-            {
-                "term_id": [term_id],
-                "seg_id": [seg_id],
-                "n_docs": [n],
-                "doc_ids_enc": [ids_enc],
-                "tfs_enc": [tfs_enc],
-                "dls_enc": [dls_enc],
-                "block_first": [bf],
-                "block_last": [bl],
-                "block_max_tfpart": [bm],
-                "seg_max_tfpart": [float(tfp.max())],
-                "enc_bytes": [len(ids_enc) + len(tfs_enc) + len(dls_enc)],
-            }
-        )
+
+def _make_pack_fn(params: IndexParams, avgdl: float):
+    """Streaming pack kernel for mapInPandas over partitions that are
+    hash-partitioned by (term_id, seg_id) and sorted by
+    (term_id, seg_id, doc_id): groups are contiguous runs; a carry
+    buffer stitches runs that span Arrow batch boundaries.  No pandas
+    per-group frames, no per-group sort — pure numpy slicing."""
+
+    def pack(batches) -> "pd.DataFrame":
+        carry = None  # (term_id, seg_id, doc_ids, tfs, dls) columns of the open run
+
+        def emit(rows):
+            return pd.DataFrame(rows)
+
+        rows = []
+
+        def flush_groups(t, s, d, tf, dl, final: bool):
+            """Pack all complete groups in the concatenated arrays;
+            return the trailing open run (or None if final)."""
+            nonlocal rows
+            if len(t) == 0:
+                return None
+            # boundaries where (term_id, seg_id) changes
+            change = np.flatnonzero((t[1:] != t[:-1]) | (s[1:] != s[:-1])) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(t)]])
+            last = len(starts) - 1
+            for gi in range(last + (1 if final else 0)):
+                a, b = starts[gi], ends[gi]
+                rows.append(
+                    _pack_group(t[a], s[a], d[a:b], tf[a:b], dl[a:b], params, avgdl)
+                )
+            if final:
+                return None
+            a = starts[last]
+            return (t[a:], s[a:], d[a:], tf[a:], dl[a:])
+
+        for pdf in batches:
+            t = pdf["term_id"].to_numpy(np.int64)
+            s = pdf["seg_id"].to_numpy(np.int64)
+            d = pdf["doc_id"].to_numpy(np.int64)
+            tf = pdf["tf"].to_numpy(np.int64)
+            dl = pdf["dl"].to_numpy(np.int64)
+            if carry is not None:
+                t = np.concatenate([carry[0], t])
+                s = np.concatenate([carry[1], s])
+                d = np.concatenate([carry[2], d])
+                tf = np.concatenate([carry[3], tf])
+                dl = np.concatenate([carry[4], dl])
+            carry = flush_groups(t, s, d, tf, dl, final=False)
+            if len(rows) >= 256:
+                yield emit(rows)
+                rows = []
+        if carry is not None:
+            flush_groups(*carry, final=True)
+        if rows:
+            yield emit(rows)
 
     return pack
 
@@ -172,6 +220,12 @@ def build_index(
             manifest["stages"][name]["resumed"] = True
         return spark.read.parquet(path)
 
+    # -- ingest parallelism: a handful of big input files must not
+    # serialize the tokenize stage; spread to 2× total cores up front.
+    target_parts = spark.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < target_parts:
+        docs = docs.repartition(target_parts)
+
     # -- stage: docs (+ sha256 integrity column, input_hint invariant)
     docs_cols = [c for c in ("doc_id", "repo", "path", "commit", "lang", text_col) if c in docs.columns]
     docs_idx = stage(
@@ -182,8 +236,21 @@ def build_index(
         ),
     )
 
+    # -- stage: termfreq — the SPIMI local runs.  Tokenize + explode
+    # exactly ONCE; docstats, dictionary and postings all derive from
+    # this relation (dl == Σ tf per doc, empty-token terms included).
+    termfreq = stage(
+        "termfreq",
+        f"{out_dir}/termfreq",
+        lambda: ops_stats.term_frequencies(docs_idx, text_col),
+    )
+
     # -- stage: docstats
-    docstats = stage("docstats", paths.docstats, lambda: ops_stats.doc_lengths(docs_idx, text_col))
+    docstats = stage(
+        "docstats",
+        paths.docstats,
+        lambda: termfreq.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")),
+    )
     n_docs, total_tokens = docstats.agg(F.count("*"), F.sum("dl")).collect()[0]
     avgdl = float(total_tokens) / n_docs
     manifest["n_docs"] = int(n_docs)
@@ -192,7 +259,7 @@ def build_index(
 
     # -- stage: dictionary (term → dense term_id in lexical order + df + idf)
     def make_dictionary():
-        dfreq = ops_stats.document_frequencies(docs_idx, text_col)
+        dfreq = termfreq.groupBy("term").agg(F.count("*").alias("df"))
         if params.bm25.variant == "plus":
             idf = dfreq.withColumn("idf", F.expr(f"ln(CAST({n_docs + 1} AS DOUBLE) / df)"))
         else:
@@ -214,15 +281,20 @@ def build_index(
 
     # -- stage: postings (segment-partitioned, packed, block-max metadata)
     def make_postings():
-        tf = ops_stats.term_frequencies(docs_idx, text_col)
         flat = (
-            tf.join(F.broadcast(dictionary.select("term", "term_id")), "term")
+            termfreq.join(F.broadcast(dictionary.select("term", "term_id")), "term")
             .join(docstats, "doc_id")
             .withColumn("seg_id", (F.col("doc_id") / params.segment_doc_window).cast("long"))
             .select("term_id", "seg_id", "doc_id", "tf", "dl")
         )
-        packed = flat.groupBy("term_id", "seg_id").applyInPandas(
-            _make_pack_fn(params, avgdl), POSTINGS_SCHEMA
+        # hash-partition by group key, sort within partitions, stream-pack:
+        # ONE shuffle, contiguous runs, no pandas per-group overhead.
+        packed = (
+            flat.repartition(
+                max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
+            )
+            .sortWithinPartitions("term_id", "seg_id", "doc_id")
+            .mapInPandas(_make_pack_fn(params, avgdl), POSTINGS_SCHEMA)
         )
         # cluster by term_id for parquet row-group min/max pruning at query time
         return packed.repartitionByRange(

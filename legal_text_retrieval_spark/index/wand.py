@@ -242,31 +242,32 @@ def query_topk(
         (F.col("qconst") + F.col("ms")).alias("score"),
     )
 
+    # δ-padding is part of the plan unconditionally — when no query has
+    # a deficit the broadcast side is empty and the branch costs ~0
+    # (avoids an extra driver-blocking count() job per query batch).
     deficits = need.filter(F.col("deficit") > 0)
-    if deficits.count() > 0:
-        # unmatched docs all score exactly qconst; reference argsort
-        # puts higher docIDs first among ties → take the highest
-        # doc_ids not already matched.
-        all_matched = local.select("qid", "doc_id")
-        top_unmatched = (
-            index.docstats()
-            .select("doc_id")
-            .crossJoin(F.broadcast(deficits.select("qid", "query_id", "qconst", "n_matched")))
-            .join(all_matched, ["qid", "doc_id"], "left_anti")
+    # unmatched docs all score exactly qconst; reference argsort puts
+    # higher docIDs first among ties → take the highest unmatched ids.
+    all_matched = local.select("qid", "doc_id")
+    top_unmatched = (
+        index.docstats()
+        .select("doc_id")
+        .crossJoin(F.broadcast(deficits.select("qid", "query_id", "qconst", "n_matched")))
+        .join(all_matched, ["qid", "doc_id"], "left_anti")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("doc_id"))
+    pad = (
+        top_unmatched.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= F.lit(k) - F.col("n_matched"))
+        .select(
+            "qid",
+            "query_id",
+            "doc_id",
+            (F.col("n_matched") + F.col("r2")).cast("long").alias("rank"),
+            F.col("qconst").alias("score"),
         )
-        w2 = Window.partitionBy("qid").orderBy(F.desc("doc_id"))
-        pad = (
-            top_unmatched.withColumn("r2", F.row_number().over(w2))
-            .filter(F.col("r2") <= F.lit(k) - F.col("n_matched"))
-            .select(
-                "qid",
-                "query_id",
-                "doc_id",
-                (F.col("n_matched") + F.col("r2")).cast("long").alias("rank"),
-                F.col("qconst").alias("score"),
-            )
-        )
-        out = out.unionByName(pad)
+    )
+    out = out.unionByName(pad)
 
     out = out.select("query_id", "doc_id", "rank", "score")
     if score_round is not None:

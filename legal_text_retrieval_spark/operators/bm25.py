@@ -149,6 +149,21 @@ def bm25_scores(
     return scores
 
 
+def bm25_scores_subset(
+    docs: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    params: BM25Params,
+    **kw,
+) -> DataFrame:
+    """Q2: get_batch_scores — score only a per-query candidate doc set
+    (/root/reference/src/custom_rank_bm25.py:162-173) via a left-semi
+    join on (query_id, doc_id)."""
+    return bm25_scores(docs, queries, params, **kw).join(
+        candidates.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi"
+    )
+
+
 def topk(scores: DataFrame, k: int) -> DataFrame:
     """(query_id, doc_id, rank, score): rank 1 = best; tie-break
     doc_id DESC = reversed stable argsort (T2 semantics)."""

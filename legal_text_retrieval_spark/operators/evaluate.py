@@ -97,6 +97,32 @@ def per_query_eval(pred: DataFrame, qrels: DataFrame) -> DataFrame:
     )
 
 
+def macro_eval(pred: DataFrame, qrels: DataFrame) -> DataFrame:
+    """E6 tail: one row of macro-averaged per-query P/R/F2 + the
+    task-4-style accuracy ('any relevant doc predicted') —
+    aggregate_all_results (utils.py:400-555)."""
+    pq = per_query_eval(pred, qrels)
+    return pq.agg(
+        F.expr(round_sql("avg(p)", 9)).alias("macro_p"),
+        F.expr(round_sql("avg(r)", 9)).alias("macro_r"),
+        F.expr(round_sql("avg(f2)", 9)).alias("macro_f2"),
+        F.expr(
+            round_sql("avg(CASE WHEN n_true > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)", 9)
+        ).alias("accuracy_any_hit"),
+    )
+
+
+def macro_eval_sql(pred_sql: str, qrels_sql: str, extra_ctes: str = "") -> str:
+    inner = per_query_eval_sql(pred_sql, qrels_sql, extra_ctes)
+    return f"""
+SELECT {round_sql("avg(p)", 9)} AS macro_p,
+       {round_sql("avg(r)", 9)} AS macro_r,
+       {round_sql("avg(f2)", 9)} AS macro_f2,
+       {round_sql("avg(CASE WHEN n_true > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)", 9)} AS accuracy_any_hit
+FROM ({inner})
+"""
+
+
 def per_query_eval_sql(pred_sql: str, qrels_sql: str, extra_ctes: str = "") -> str:
     p = "CASE WHEN n_pred = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_pred END"
     r = "CASE WHEN n_gold = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_gold END"

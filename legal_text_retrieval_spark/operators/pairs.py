@@ -58,6 +58,24 @@ ORDER BY query_id, doc_id
     )
 
 
+def train_test_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """J7: deterministic split — idx % 10 < 2 → 'test', else 'train'
+    (/root/reference/src/utils.py:297-309)."""
+    return df.select(
+        id_col,
+        F.when(F.pmod(F.col(id_col), 10) < 2, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def train_test_split_sql(table: str, id_col: str = "doc_id") -> str:
+    return (
+        f"SELECT {id_col}, CASE WHEN {id_col} % 10 < 2 THEN 'test' ELSE 'train' END AS split "
+        f"FROM {table} ORDER BY {id_col}"
+    )
+
+
 def hydrate_pairs(
     pairs: DataFrame, docs: DataFrame, queries: DataFrame, text_col: str = "content"
 ) -> DataFrame:

@@ -57,3 +57,20 @@ def write_mrpc_csv(pairs_hydrated: DataFrame, path: str) -> None:
 def write_submission_json(predictions: DataFrame, path: str) -> None:
     """S10: one JSON object per row (/root/reference/src/infer.py:336-348)."""
     predictions.write.mode("overwrite").json(path)
+
+
+def write_stopwords_json(stopwords: DataFrame, path: str) -> None:
+    """S8: stopword list as a single JSON array
+    (/root/reference/src/stopwords_tfidf_generator.py:25-29)."""
+    import json as _json
+    from pathlib import Path as _P
+
+    words = sorted(r.term for r in stopwords.select("term").collect())
+    _P(path).parent.mkdir(parents=True, exist_ok=True)
+    _P(path).write_text(_json.dumps(words, ensure_ascii=False))
+
+
+def read_predictions_tsv(spark, path: str) -> DataFrame:
+    """S11: prediction TSV scan (pd.read_csv(sep='\\t') equivalent;
+    /root/reference/src/utils.py:139-141)."""
+    return spark.read.option("sep", "\t").option("header", True).csv(path)

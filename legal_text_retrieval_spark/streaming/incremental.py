@@ -71,8 +71,12 @@ def _append_batch(
         .withColumn("seg_id", (F.col("doc_id") / params.segment_doc_window).cast("long"))
         .select("term_id", "seg_id", "doc_id", "tf", "dl")
     )
-    packed = flat.groupBy("term_id", "seg_id").applyInPandas(
-        _make_pack_fn(params, avgdl), POSTINGS_SCHEMA
+    packed = (
+        flat.repartition(
+            max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
+        )
+        .sortWithinPartitions("term_id", "seg_id", "doc_id")
+        .mapInPandas(_make_pack_fn(params, avgdl), POSTINGS_SCHEMA)
     )
     packed.write.mode("append").parquet(paths.postings)
 

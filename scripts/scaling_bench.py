@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json north_rule): the same
+index build at two parallelism levels (local[8] vs local[32]) on the
+same input; sandbox substitute for N vs 4N executors.
+
+Usage:
+  python scripts/scaling_bench.py run <cores> <corpus_parquet> <out_json>
+      one measured build (invoked in a fresh process per config)
+  python scripts/scaling_bench.py all [n_docs]
+      generate corpus once, run both configs as subprocesses, print the
+      summary JSON and append the table to BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+CORPUS = "/tmp/lts_scaling_corpus.parquet"
+N_DOCS_DEFAULT = 200_000
+
+
+def ensure_corpus(n_docs: int) -> str:
+    marker = Path(CORPUS + f".{n_docs}.ok")
+    if marker.exists():
+        return CORPUS
+    import pandas as pd
+
+    from legal_text_retrieval_spark.fixtures import make_corpus_fast
+
+    pdf = make_corpus_fast(n_docs)
+    shutil.rmtree(CORPUS, ignore_errors=True)
+    Path(CORPUS).unlink(missing_ok=True)
+    pdf.to_parquet(CORPUS, index=False)
+    marker.write_text("ok")
+    return CORPUS
+
+
+def run_one(cores: int, corpus: str, out_json: str) -> None:
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.config import IndexParams, NORTH_STAR_BM25
+    from legal_text_retrieval_spark.index.builder import build_index
+    from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
+    from legal_text_retrieval_spark.session import get_spark
+    from legal_text_retrieval_spark.sources.corpus import derived_queries
+
+    spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]")
+    docs = spark.read.parquet(corpus)
+    n_docs = docs.count()
+
+    params = IndexParams(segment_doc_window=1 << 15, bm25=NORTH_STAR_BM25)
+    # warm-up build (JIT, page cache, python workers), then median of 3
+    # measured builds — single-box wall-clock noise is ±20-30%
+    warm_dir = tempfile.mkdtemp(prefix=f"lts_scaling_warm_{cores}_")
+    build_index(spark, docs, warm_dir, params, resume=False)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    times = []
+    out_dir = ""
+    for _ in range(3):
+        if out_dir:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        out_dir = tempfile.mkdtemp(prefix=f"lts_scaling_idx_{cores}_")
+        t0 = time.time()
+        build_index(spark, docs, out_dir, params, resume=False)
+        times.append(time.time() - t0)
+    build_s = sorted(times)[1]
+
+    index = FulltextIndex.load(spark, out_dir)
+    q = derived_queries(docs.withColumnRenamed("content", "content")).limit(50).cache()
+    q.count()
+    query_topk(index, q, k=10).count()  # warm
+    t0 = time.time()
+    query_topk(index, q, k=10).count()
+    query_s = time.time() - t0
+
+    manifest = json.loads(Path(out_dir, "manifest.json").read_text())
+    Path(out_json).write_text(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_docs": n_docs,
+                "stage_seconds": {
+                    k: v["seconds"] for k, v in manifest["stages"].items()
+                },
+                "build_seconds": round(build_s, 2),
+                "build_seconds_runs": [round(t, 2) for t in times],
+                "docs_per_sec": round(n_docs / build_s, 1),
+                "postings_per_sec": round(manifest["total_postings"] / build_s, 1),
+                "total_postings": manifest["total_postings"],
+                "bytes_per_posting": manifest["bytes_per_posting"],
+                "skew_ratio_group": manifest["skew_ratio_group"],
+                "query_batch_seconds_k10_50q": round(query_s, 2),
+            }
+        )
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+
+CORES_LO, CORES_HI = 4, 16  # N and 4N
+
+
+def _burn(_):
+    import time as _t
+
+    t = _t.time()
+    x = 0
+    while _t.time() - t < 2:
+        x += 1
+    return x
+
+
+def hardware_capacity_ratio() -> float:
+    """Measured compute capacity of CORES_HI vs CORES_LO busy-loop
+    processes on this box.  This sandbox's 32 vCPUs throttle under
+    full load (8→32 sustains only ~2.9×), so the honest N→4N pair is
+    4→16, where capacity is ~3.9×; we report the measured ceiling next
+    to the job's own speedup."""
+    import multiprocessing as mp
+
+    burn = _burn
+    caps = {}
+    for n in (CORES_LO, CORES_HI):
+        with mp.Pool(n) as p:
+            caps[n] = sum(p.map(burn, range(n)))
+    return caps[CORES_HI] / caps[CORES_LO]
+
+
+def run_all(n_docs: int) -> dict:
+    corpus = ensure_corpus(n_docs)
+    results = {}
+    for cores in (CORES_LO, CORES_HI):
+        out = f"/tmp/lts_scaling_{cores}.json"
+        import os
+
+        subprocess.run(
+            [sys.executable, __file__, "run", str(cores), corpus, out],
+            check=True,
+            cwd=str(Path(__file__).resolve().parents[1]),
+            # plenty of heap: partial-agg hash maps must not spill, or the
+            # measurement becomes disk-bound instead of core-bound
+            env={**os.environ, "SPARK_DRIVER_MEM": "16g"},
+        )
+        results[cores] = json.loads(Path(out).read_text())
+    speedup = results[CORES_HI]["docs_per_sec"] / results[CORES_LO]["docs_per_sec"]
+    ratio = CORES_HI / CORES_LO
+    hw = hardware_capacity_ratio()
+    summary = {
+        "n_docs": n_docs,
+        f"local{CORES_LO}": results[CORES_LO],
+        f"local{CORES_HI}": results[CORES_HI],
+        "speedup": round(speedup, 3),
+        "core_ratio": ratio,
+        "scaling_efficiency": round(speedup / ratio, 3),
+        "hardware_capacity_ratio": round(hw, 3),
+        "efficiency_vs_hardware": round(speedup / hw, 3),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "run":
+        run_one(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    else:
+        run_all(int(sys.argv[2]) if len(sys.argv) > 2 else N_DOCS_DEFAULT)
