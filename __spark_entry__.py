@@ -347,6 +347,28 @@ def _q_multimodal_features(spark, sf_dir):
     return payload_features(_docs(spark, sf_dir))
 
 
+def _q_softmax_scores(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.evaluate import softmax_per_query
+
+    return softmax_per_query(_retrieved_scored(spark, sf_dir))
+
+
+def _retrieved_scored(spark, sf_dir):
+    from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return B.bm25_topk(docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K).select(
+        "query_id", "doc_id", "score"
+    )
+
+
+def _q_dedup_keep(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.dedup import dedup_keep
+
+    return dedup_keep(_docs(spark, sf_dir), threshold=0.1)
+
+
 _PRED_RANK = 3
 
 
@@ -411,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": _q_train_test_split,
         "bm25_subset_scores": _q_bm25_subset_scores,
         "eval_macro": _q_eval_macro,
+        "softmax_scores": _q_softmax_scores,
+        "dedup_keep": _q_dedup_keep,
     }
 
 
@@ -507,6 +531,12 @@ WHERE EXISTS (SELECT 1 FROM qrels g WHERE g.query_id = b.query_id AND g.doc_id =
             "SELECT query_id, doc_id FROM qrels",
             extra_ctes=_retrieved_ctes(),
         ),
+        "softmax_scores": EV.softmax_per_query_sql(
+            "WITH "
+            + _retrieved_ctes(with_score=True)
+            + "\nSELECT query_id, doc_id, score FROM retrieved"
+        ),
+        "dedup_keep": DD.dedup_keep_sql("documents", threshold=0.1),
         "ensemble_predictions": EN.ensemble_sql(
             [
                 "WITH "

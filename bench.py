@@ -65,10 +65,28 @@ def main() -> None:
     timings["wand_batch_ms_per_query"] = round(
         timings["wand_topk10_warm"] / max(1, n_queries) * 1000, 2
     )
+
+    # single-query latency (Spark job overhead included): p50 over 9
+    singles = queries_df.limit(9).collect()
+    lats = []
+    for row in singles:
+        one = spark.createDataFrame([row])
+        t0 = time.time()
+        query_topk(index, one, k=10).count()
+        lats.append(time.time() - t0)
+    lats.sort()
+    timings["wand_single_query_p50_s"] = round(lats[len(lats) // 2], 3)
     docs_per_sec = round(n_docs / timings["index_build"], 1)
     shutil.rmtree(idx_root, ignore_errors=True)
 
-    total = round(sum(v for k, v in timings.items() if not k.endswith("_ms_per_query")), 3)
+    total = round(
+        sum(
+            v
+            for k, v in timings.items()
+            if not (k.endswith("_ms_per_query") or k.endswith("_p50_s"))
+        ),
+        3,
+    )
     print(
         json.dumps(
             {

@@ -200,6 +200,30 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_keep(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "content"
+) -> DataFrame:
+    """(doc_id) — corpus after near-dup removal: greedy keep-lowest
+    policy (drop any doc that has a near-duplicate with a smaller
+    doc_id).  Deterministic, clustering-free, the standard policy for
+    training-data dedup sweeps; pairs come from the LSH+verify path."""
+    drop = dedup_minhash_lsh(docs, n, threshold, text_col).select("doc_b").distinct()
+    return docs.join(
+        drop.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left_anti"
+    ).select("doc_id")
+
+
+def dedup_keep_sql(
+    table: str, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> str:
+    pairs = dedup_minhash_lsh_sql(table, n, threshold, text_col)
+    return f"""
+SELECT doc_id FROM {table}
+WHERE doc_id NOT IN (SELECT doc_b FROM ({pairs}))
+ORDER BY doc_id
+"""
+
+
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "content") -> DataFrame:
     """(doc_id, simhash) — tf-weighted hyperbit fingerprint.  All
     integer arithmetic; strict s_b > 0 sets the bit."""

@@ -97,6 +97,39 @@ def per_query_eval(pred: DataFrame, qrels: DataFrame) -> DataFrame:
     )
 
 
+def softmax_per_query(scored: DataFrame, score_round: int = 6) -> DataFrame:
+    """E7: softmax over each query's candidate scores
+    (/root/reference/src/infer.py:143-145) — numerically stable
+    (max-shifted), fold-ordered by doc_id for cross-engine parity."""
+    g = scored.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "score"))).alias("a")
+    )
+    mx = "aggregate(a, CAST('-Infinity' AS DOUBLE), (acc, x) -> greatest(acc, x.score))"
+    den = f"aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + exp(x.score - ({mx})))"
+    return (
+        g.select("query_id", F.explode("a").alias("x"), F.expr(den).alias("den"), F.expr(mx).alias("mx"))
+        .select(
+            "query_id",
+            F.col("x.doc_id").alias("doc_id"),
+            F.expr(round_sql("exp(x.score - mx) / den", 6)).alias("prob"),
+        )
+    )
+
+
+def softmax_per_query_sql(scored_sql: str, score_round: int = 6) -> str:
+    mx = "list_reduce(list_prepend(CAST('-Infinity' AS DOUBLE), list(score ORDER BY doc_id)), (x, y) -> greatest(x, y))"
+    den = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(exp(score - mx) ORDER BY doc_id)), (x, y) -> x + y)"
+    return f"""
+WITH scored AS ({scored_sql}),
+g AS (SELECT query_id, {mx} AS mx FROM scored GROUP BY query_id),
+d AS (SELECT s.query_id, {den} AS den, any_value(mx) AS mx
+      FROM scored s JOIN g USING (query_id) GROUP BY s.query_id)
+SELECT s.query_id, s.doc_id, {round_sql("exp(s.score - d.mx) / d.den", 6)} AS prob
+FROM scored s JOIN d USING (query_id)
+ORDER BY query_id, doc_id
+"""
+
+
 def macro_eval(pred: DataFrame, qrels: DataFrame) -> DataFrame:
     """E6 tail: one row of macro-averaged per-query P/R/F2 + the
     task-4-style accuracy ('any relevant doc predicted') —
