@@ -347,6 +347,47 @@ def _q_multimodal_features(spark, sf_dir):
     return payload_features(_docs(spark, sf_dir))
 
 
+def _q_composite_keys(spark, sf_dir):
+    """P7 + P9: build composite keys, chunk sub-keys, and strip the
+    sub-id back to the parent key."""
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.functions.text import (
+        composite_key,
+        parse_composite_key,
+        strip_sub_id,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        composite_key(F.col("source"), F.col("doc_id").cast("string")).alias("key"),
+    ).withColumn("sub_key", F.expr("concat(split(key, '-->', -1)[0], '-->', split(key, '-->', -1)[1], '-sub0-->')"))
+    return keyed.select(
+        "doc_id",
+        "key",
+        "sub_key",
+        strip_sub_id(F.col("sub_key")).alias("parent_key"),
+        parse_composite_key(F.col("key")).getItem(0).alias("l_id"),
+        parse_composite_key(F.col("key")).getItem(1).alias("a_id"),
+    )
+
+
+def _q_chunk_expansion(spark, sf_dir):
+    """J2: expand retrieved parent docs to all their chunk ids."""
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.operators.chunk import chunk_documents
+
+    chunks = chunk_documents(_docs(spark, sf_dir), **_CHUNK).select("doc_id", "sub_id")
+    return (
+        _retrieved(spark, sf_dir)
+        .select("query_id", "doc_id")
+        .join(chunks, "doc_id")
+        .select("query_id", "doc_id", "sub_id")
+    )
+
+
 def _q_softmax_scores(spark, sf_dir):
     from legal_text_retrieval_spark.operators.evaluate import softmax_per_query
 
@@ -435,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_macro": _q_eval_macro,
         "softmax_scores": _q_softmax_scores,
         "dedup_keep": _q_dedup_keep,
+        "composite_keys": _q_composite_keys,
+        "chunk_expansion": _q_chunk_expansion,
     }
 
 
@@ -537,6 +580,30 @@ WHERE EXISTS (SELECT 1 FROM qrels g WHERE g.query_id = b.query_id AND g.doc_id =
             + "\nSELECT query_id, doc_id, score FROM retrieved"
         ),
         "dedup_keep": DD.dedup_keep_sql("documents", threshold=0.1),
+        "composite_keys": """
+WITH keyed AS (
+  SELECT doc_id,
+         source || '-->' || doc_id::VARCHAR || '-->' AS key,
+         string_split(source || '-->' || doc_id::VARCHAR || '-->', '-->')[1]
+           || '-->' || string_split(source || '-->' || doc_id::VARCHAR || '-->', '-->')[2]
+           || '-sub0-->' AS sub_key
+  FROM documents)
+SELECT doc_id, key, sub_key,
+       regexp_replace(sub_key, '-sub\\d+', '', 'g') AS parent_key,
+       string_split(key, '-->')[1] AS l_id,
+       string_split(key, '-->')[2] AS a_id
+FROM keyed ORDER BY doc_id
+""",
+        "chunk_expansion": (
+            "WITH "
+            + _retrieved_ctes()
+            + f""",
+chunks AS (SELECT doc_id, sub_id FROM ({chunk_documents_sql("documents", **_CHUNK)}))
+SELECT query_id, doc_id, sub_id
+FROM retrieved JOIN chunks USING (doc_id)
+ORDER BY query_id, doc_id, sub_id
+"""
+        ),
         "ensemble_predictions": EN.ensemble_sql(
             [
                 "WITH "

@@ -84,6 +84,24 @@ def shingle_expr(tokens_colname: str, n: int = 3) -> Column:
     )
 
 
+def composite_key(l_col: Column, a_col: Column) -> Column:
+    """P7: the reference's composite article key ``"{l}-->{a}-->"``
+    (/root/reference/src/utils.py:43-49)."""
+    return F.concat(l_col, F.lit("-->"), a_col, F.lit("-->"))
+
+
+def parse_composite_key(key_col: Column) -> Column:
+    """P7 inverse: split on '-->' → [l_id, a_id, ''] array
+    (/root/reference/src/utils.py:43-46)."""
+    return F.split(key_col, "-->", -1)
+
+
+def strip_sub_id(key_col: Column) -> Column:
+    """P9: map a chunk key back to its parent article key —
+    ``re.sub(r'-sub\\d+', '', id)`` (/root/reference/src/utils.py:416,478)."""
+    return F.regexp_replace(key_col, r"-sub\d+", "")
+
+
 def md5_hash60(col: Column) -> Column:
     """Deterministic 60-bit integer hash: first 15 hex chars of md5.
 
