@@ -22,10 +22,16 @@ _OKAPI = BM25Params(variant="okapi")
 _K = 10
 
 
+_CACHE: dict = {}
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legal_text_retrieval_spark.sources.corpus import load_documents
 
-    return load_documents(spark, sf_dir)
+    key = ("docs", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = load_documents(spark, sf_dir).cache()
+    return _CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -167,8 +173,13 @@ def _retrieved(spark, sf_dir):
     from legal_text_retrieval_spark.operators import bm25 as B
     from legal_text_retrieval_spark.sources import corpus as C
 
-    docs = _docs(spark, sf_dir)
-    return B.bm25_topk(docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K)
+    key = ("retrieved", sf_dir)
+    if key not in _CACHE:
+        docs = _docs(spark, sf_dir)
+        _CACHE[key] = B.bm25_topk(
+            docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K
+        ).cache()
+    return _CACHE[key]
 
 
 def _retrieved_ctes(with_score: bool = False) -> str:

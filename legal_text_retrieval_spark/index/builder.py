@@ -313,11 +313,18 @@ def build_index(
         )
         lineage.write.mode("overwrite").parquet(paths.lineage)
     lineage = spark.read.parquet(paths.lineage)
-    agg = lineage.agg(
-        F.sum("postings"), F.sum("bytes"), F.max("postings"), F.avg("postings"), F.count("*")
+    # one combined metrics job over the (small) packed-postings table
+    agg = postings.agg(
+        F.sum("n_docs"),
+        F.sum("enc_bytes"),
+        F.max("n_docs"),
+        F.avg("n_docs"),
+        F.countDistinct("term_id"),
     ).collect()[0]
-    total_postings, total_bytes, max_term_postings, mean_term_postings, vocab = agg
-    seg_agg = postings.agg(F.max("n_docs"), F.avg("n_docs")).collect()[0]
+    total_postings, total_bytes, max_group, mean_group, vocab = agg
+    term_agg = lineage.agg(F.max("postings"), F.avg("postings")).collect()[0]
+    max_term_postings, mean_term_postings = term_agg
+    seg_agg = (max_group, mean_group)
     build_secs = sum(s.get("seconds", 0) for s in manifest["stages"].values())
     manifest.update(
         {

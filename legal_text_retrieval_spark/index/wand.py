@@ -73,14 +73,21 @@ class FulltextIndex:
             k1=p["k1"], b=p["b"], delta=p["delta"], variant=p["variant"], epsilon=p["epsilon"]
         )
 
+    _dict_cache: DataFrame | None = None
+    _docstats_cache: DataFrame | None = None
+
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.dictionary)
+        if self._dict_cache is None:
+            self._dict_cache = self.spark.read.parquet(self.paths.dictionary).cache()
+        return self._dict_cache
 
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.postings)
 
     def docstats(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docstats)
+        if self._docstats_cache is None:
+            self._docstats_cache = self.spark.read.parquet(self.paths.docstats).cache()
+        return self._docstats_cache
 
 
 def _make_kernel(params: BM25Params, avgdl: float, window: int, k: int, prune: bool):
