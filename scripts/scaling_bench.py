@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence (BASELINE.json north_rule): the same
-index build at two parallelism levels (local[8] vs local[32]) on the
-same input; sandbox substitute for N vs 4N executors.
+index build at two parallelism levels (default local[4] vs local[16];
+override with SCALE_LO/SCALE_HI env) on the same input — the sandbox
+substitute for N vs 4N executors.  A busy-loop capacity probe is
+reported alongside because this box throttles at high thread counts.
 
 Usage:
   python scripts/scaling_bench.py run <cores> <corpus_parquet> <out_json>
@@ -106,7 +108,7 @@ def run_one(cores: int, corpus: str, out_json: str) -> None:
     spark.stop()
 
 
-CORES_LO, CORES_HI = 4, 16  # N and 4N
+CORES_LO, CORES_HI = int(__import__("os").environ.get("SCALE_LO", 4)), int(__import__("os").environ.get("SCALE_HI", 16))  # N and 4N
 
 
 def _burn(_):
