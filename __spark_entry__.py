@@ -279,6 +279,12 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(_emb(spark, sf_dir))
 
 
+def _q_ann_recall(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import ann_recall
+
+    return ann_recall(_emb(spark, sf_dir))
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from legal_text_retrieval_spark.operators.similarity import near_dup_pairs
 
@@ -475,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_recall": _q_ann_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "token_counts": _q_token_counts,
         "language_id": _q_language_id,
@@ -564,6 +571,7 @@ USING (query_id, doc_id) WHERE r2.hit IS NULL
         "simhash": DD.simhash_sql("documents"),
         "embedding_cosine_topk": SIM.cosine_topk_sql("embeddings"),
         "ann_lsh_topk": SIM.ann_lsh_topk_sql("embeddings"),
+        "ann_recall": SIM.ann_recall_sql("embeddings"),
         "embedding_near_dup": SIM.near_dup_pairs_sql("embeddings"),
         "token_counts": TS.token_counts_sql("documents"),
         "language_id": TS.language_id_sql("documents"),

@@ -198,6 +198,49 @@ ORDER BY query_vec_id, rank
 """
 
 
+def ann_recall(embeddings: DataFrame, k: int = 5, nplanes: int = _NPLANES) -> DataFrame:
+    """(query_vec_id, n_exact, n_hit, recall) — per-query recall@k of
+    the LSH-bucketed ANN against the exact brute-force top-k: the
+    quality gauge for tuning nplanes at scale."""
+    from ..functions.numeric import round_sql
+
+    exact = cosine_topk(embeddings, k).select("query_vec_id", "vec_id")
+    approx = ann_lsh_topk(embeddings, k, nplanes).select("query_vec_id", "vec_id")
+    ne = exact.groupBy("query_vec_id").agg(F.count("*").alias("n_exact"))
+    nh = (
+        exact.join(approx, ["query_vec_id", "vec_id"])
+        .groupBy("query_vec_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        ne.join(nh, "query_vec_id", "left")
+        .fillna({"n_hit": 0})
+        .select(
+            "query_vec_id",
+            F.col("n_exact").cast("long"),
+            F.col("n_hit").cast("long"),
+            F.expr(round_sql("CAST(n_hit AS DOUBLE) / n_exact", 9)).alias("recall"),
+        )
+    )
+
+
+def ann_recall_sql(table: str, k: int = 5, nplanes: int = _NPLANES) -> str:
+    from ..functions.numeric import round_sql
+
+    return f"""
+WITH exact AS (SELECT query_vec_id, vec_id FROM ({cosine_topk_sql(table, k)})),
+approx AS (SELECT query_vec_id, vec_id FROM ({ann_lsh_topk_sql(table, k, nplanes)})),
+ne AS (SELECT query_vec_id, count(*) AS n_exact FROM exact GROUP BY query_vec_id),
+nh AS (SELECT query_vec_id, count(*) AS n_hit
+       FROM exact JOIN approx USING (query_vec_id, vec_id) GROUP BY query_vec_id)
+SELECT query_vec_id, n_exact::BIGINT AS n_exact,
+       COALESCE(n_hit, 0)::BIGINT AS n_hit,
+       {round_sql("CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact", 9)} AS recall
+FROM ne LEFT JOIN nh USING (query_vec_id)
+ORDER BY query_vec_id
+"""
+
+
 def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     """(vec_a, vec_b, cos) — embedding-cosine near-duplicate pairs.
     All-pairs form (exact); at scale restrict to LSH-bucket pairs."""
