@@ -64,6 +64,13 @@ class FulltextIndex:
     def load(cls, spark: SparkSession, root: str) -> "FulltextIndex":
         paths = IndexPaths(root)
         manifest = json.loads(Path(paths.manifest).read_text())
+        # the index dirs may have been rewritten in-place (compaction,
+        # resumed builds) — drop any stale cached relations for them
+        for p in (paths.dictionary, paths.docstats, paths.postings, paths.docs):
+            try:
+                spark.catalog.refreshByPath(p)
+            except Exception:
+                pass
         return cls(spark, paths, manifest)
 
     @property

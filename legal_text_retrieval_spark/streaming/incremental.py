@@ -121,4 +121,12 @@ def compact(spark: SparkSession, index_root: str, params: IndexParams, text_col:
     Path(index_root).rename(backup)
     Path(tmp_root).rename(index_root)
     shutil.rmtree(backup, ignore_errors=True)
-    return IndexPaths(index_root)
+    # the same paths now hold different data: invalidate cached plans
+    spark.catalog.clearCache()
+    paths = IndexPaths(index_root)
+    for p in (paths.dictionary, paths.docstats, paths.postings, paths.docs):
+        try:
+            spark.catalog.refreshByPath(p)
+        except Exception:
+            pass
+    return paths
