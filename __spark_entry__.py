@@ -454,6 +454,24 @@ def _q_ensemble(spark, sf_dir):
     return with_negative_fallback(ensemble_predictions(_model_dfs(spark, sf_dir)))
 
 
+def _q_tpch_q1(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.relational import tpch_q1_like
+
+    return tpch_q1_like(spark, sf_dir)
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.relational import revenue_by_nation
+
+    return revenue_by_nation(spark, sf_dir)
+
+
+def _q_events_daily(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.relational import events_daily_counts
+
+    return events_daily_counts(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -496,6 +514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": _q_dedup_keep,
         "composite_keys": _q_composite_keys,
         "chunk_expansion": _q_chunk_expansion,
+        "tpch_q1_like": _q_tpch_q1,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_daily_counts": _q_events_daily,
     }
 
 
@@ -508,6 +529,7 @@ def oracle_sql() -> dict[str, str]:
     from legal_text_retrieval_spark.functions.numeric import round_sql
     from legal_text_retrieval_spark.operators import multimodal as MM
     from legal_text_retrieval_spark.operators import pairs as PR
+    from legal_text_retrieval_spark.operators import relational as RL
     from legal_text_retrieval_spark.operators import similarity as SIM
     from legal_text_retrieval_spark.operators import textstats as TS
     from legal_text_retrieval_spark.operators import stats
@@ -599,6 +621,9 @@ WHERE EXISTS (SELECT 1 FROM qrels g WHERE g.query_id = b.query_id AND g.doc_id =
             + "\nSELECT query_id, doc_id, score FROM retrieved"
         ),
         "dedup_keep": DD.dedup_keep_sql("documents", threshold=0.1),
+        "tpch_q1_like": RL.tpch_q1_like_sql(),
+        "revenue_by_nation": RL.revenue_by_nation_sql(),
+        "events_daily_counts": RL.events_daily_counts_sql(),
         "composite_keys": """
 WITH keyed AS (
   SELECT doc_id,

@@ -270,7 +270,9 @@ def build_index(
                     f"- ln(df + CAST(0.5 AS DOUBLE))"
                 ),
             )
-            eps = params.bm25.epsilon * raw.agg(F.avg("idf0")).collect()[0][0]
+            from ..operators.bm25 import _ordered_mean_idf0
+
+            eps = params.bm25.epsilon * _ordered_mean_idf0(raw)
             idf = raw.withColumn(
                 "idf", F.expr(f"CASE WHEN idf0 < 0 THEN CAST({eps!r} AS DOUBLE) ELSE idf0 END")
             ).drop("idf0")

@@ -51,6 +51,21 @@ def _tf_part(params: BM25Params) -> str:
     return f"((tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / __avgdl__)))"
 
 
+def _ordered_mean_idf0(raw: DataFrame) -> float:
+    """mean(idf0) with a term-ordered fold, so every consumer (builder
+    dictionary, relational scorer, DuckDB oracle) derives the exact
+    same ε floor bit-for-bit."""
+    row = (
+        raw.agg(F.array_sort(F.collect_list(F.struct("term", "idf0"))).alias("a"))
+        .select(
+            F.expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.idf0)").alias("s"),
+            F.expr("size(a)").alias("n"),
+        )
+        .collect()[0]
+    )
+    return row.s / row.n
+
+
 def query_term_occurrences(queries: DataFrame, query_col: str = "query_text") -> DataFrame:
     """(query_id, term, qtf) — occurrence counts; duplicates matter
     (BM25 adds one contribution per occurrence)."""
@@ -95,7 +110,7 @@ def bm25_scores(
                 f"- ln(df + CAST(0.5 AS DOUBLE))"
             ),
         )
-        eps = params.epsilon * raw.agg(F.avg("idf0")).collect()[0][0]
+        eps = params.epsilon * _ordered_mean_idf0(raw)
         idf = raw.withColumn("idf", F.expr(f"CASE WHEN idf0 < 0 THEN {_fmt(eps)} ELSE idf0 END"))
 
     qocc = query_term_occurrences(queries, query_col)
@@ -211,7 +226,9 @@ def bm25_ctes(table: str, queries_sql: str, params: BM25Params, text_col: str = 
     else:
         idf_cte = (
             "b_idf0 AS (SELECT term, ln(b_st.n - df + 0.5) - ln(df + 0.5) AS idf0 FROM b_dfreq, b_st), "
-            "b_eps AS (SELECT 0.25 * avg(idf0) AS e FROM b_idf0), "
+            f"b_eps AS (SELECT {_fmt(params.epsilon)} * "
+            "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(idf0 ORDER BY term)), (a, b) -> a + b) "
+            "/ count(*)) AS e FROM b_idf0), "
             "b_idf AS (SELECT term, CASE WHEN idf0 < 0 THEN b_eps.e ELSE idf0 END AS idf FROM b_idf0, b_eps)"
         )
         qconst_cte = (

@@ -118,11 +118,11 @@ def idf_okapi(docs: DataFrame, text_col: str = "content") -> DataFrame:
     raw = document_frequencies(docs, text_col).withColumn(
         "idf0", F.log(F.lit(float(n)) - F.col("df") + 0.5) - F.log(F.col("df") + 0.5)
     )
-    # average over raw idfs (incl. negatives), deterministic order:
-    # sum of idf0 folded by term asc would be ideal, but a plain avg of
-    # doubles is order-dependent — use round(…, 9) to absorb it.
-    avg_idf = raw.agg(F.avg("idf0")).collect()[0][0]
-    eps = 0.25 * avg_idf
+    # average over raw idfs (incl. negatives) with a term-ordered fold
+    # so the ε floor is bit-identical across engines/paths
+    from .bm25 import _ordered_mean_idf0
+
+    eps = 0.25 * _ordered_mean_idf0(raw)
     return raw.select(
         "term",
         "df",
@@ -140,7 +140,9 @@ def idf_okapi_sql(table: str, text_col: str = "text") -> str:
         f"WITH n AS (SELECT count(*)::DOUBLE AS n FROM {table}), "
         f"d AS ({dfq}), "
         f"raw AS (SELECT term, df, ln(n.n - df + 0.5) - ln(df + 0.5) AS idf0 FROM d, n), "
-        f"a AS (SELECT 0.25 * avg(idf0) AS eps FROM raw) "
+        f"a AS (SELECT CAST(0.25 AS DOUBLE) * "
+        f"(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(idf0 ORDER BY term)), (x, y) -> x + y) "
+        f"/ count(*)) AS eps FROM raw) "
         f"SELECT term, df::BIGINT AS df, "
         f"{round_sql('CASE WHEN idf0 < 0 THEN a.eps ELSE idf0 END', 9)} AS idf "
         f"FROM raw, a ORDER BY term"
