@@ -1,0 +1,138 @@
+"""Low-latency local serving over a built index — the engine's
+counterpart of the reference's online-inference init_state/serve loop
+(/root/reference/src/infer.py:156-208, which unpickles the fitted
+scorer and serves queries in-process).
+
+``LocalIndexServer.load`` collects the (compressed) index into driver
+memory — legitimate whenever the index fits one node, exactly like the
+reference's pickle — and answers top-k queries in microseconds using
+the SAME codec and the same term-ordered accumulation as the WAND
+kernel, so results are bit-identical to the distributed path
+(tests/test_serving.py).
+
+For indexes too large for one node, use index/wand.query_topk (the
+distributed path); this module exists because per-query Spark job
+overhead (~1-2 s) is the wrong tool for interactive serving.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from ..config import BM25Params
+from ..oracle.reference_scorer import standardize_data, ws_split
+from . import codec
+from .builder import IndexPaths
+
+
+@dataclass
+class _TermPostings:
+    doc_ids: np.ndarray  # int64, sorted
+    contribs: np.ndarray  # float64 matched-part contribution (idf excluded)
+
+
+class LocalIndexServer:
+    def __init__(self, params: BM25Params, avgdl: float, n_docs: int):
+        self.params = params
+        self.avgdl = avgdl
+        self.n_docs = n_docs
+        self.term_idf: dict[str, float] = {}
+        self.term_post: dict[str, _TermPostings] = {}
+        self.all_doc_ids: np.ndarray | None = None
+
+    @classmethod
+    def load(cls, spark, root: str) -> "LocalIndexServer":
+        paths = IndexPaths(root)
+        manifest = json.loads(Path(paths.manifest).read_text())
+        p = manifest["params"]
+        params = BM25Params(
+            k1=p["k1"], b=p["b"], delta=p["delta"], variant=p["variant"], epsilon=p["epsilon"]
+        )
+        srv = cls(params, manifest["avgdl"], manifest["n_docs"])
+        window = p["segment_doc_window"]
+
+        dict_rows = spark.read.parquet(paths.dictionary).select("term", "term_id", "idf").collect()
+        id2term = {}
+        for r in dict_rows:
+            srv.term_idf[r.term] = r.idf
+            id2term[r.term_id] = r.term
+
+        parts: dict[str, list] = {}
+        for r in (
+            spark.read.parquet(paths.postings)
+            .select("term_id", "seg_id", "doc_ids_enc", "tfs_enc", "dls_enc")
+            .collect()
+        ):
+            term = id2term[r.term_id]
+            base = r.seg_id * window
+            ids = codec.decode_docids(bytes(r.doc_ids_enc), base)
+            tfs = codec.decode_varint(bytes(r.tfs_enc)).astype(np.int64)
+            dls = codec.decode_varint(bytes(r.dls_enc)).astype(np.int64)
+            tfp = codec.tf_part(tfs, dls, params.k1, params.b, srv.avgdl, params.variant)
+            parts.setdefault(term, []).append((r.seg_id, ids, tfp))
+        for term, segs in parts.items():
+            segs.sort(key=lambda t: t[0])  # docID order across segments
+            srv.term_post[term] = _TermPostings(
+                np.concatenate([s[1] for s in segs]), np.concatenate([s[2] for s in segs])
+            )
+        srv.all_doc_ids = np.sort(
+            np.fromiter(
+                (r.doc_id for r in spark.read.parquet(paths.docstats).select("doc_id").collect()),
+                dtype=np.int64,
+            )
+        )
+        return srv
+
+    def query(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        """[(doc_id, score)] rank order — identical semantics to
+        wand.query_topk (term-ordered accumulation, δ constant,
+        argsort-parity ties, δ-padding)."""
+        p = self.params
+        toks = ws_split(standardize_data(query_text))
+        qtf: dict[str, int] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0) + 1
+
+        # δ constant folded in term order (matches the engine fold)
+        qconst = 0.0
+        if p.variant == "plus":
+            acc = 0.0
+            for t in sorted(qtf):
+                acc += qtf[t] * self.term_idf.get(t, 0.0)
+            qconst = p.delta * acc
+
+        # dense scatter-add accumulation: per doc the additions happen
+        # in ascending term order (same fold as the WAND kernel →
+        # bit-identical scores), but each term costs O(postings)
+        # instead of an O(n log n) candidate re-sort.
+        size = int(self.all_doc_ids[-1]) + 1 if len(self.all_doc_ids) else 0
+        score = np.zeros(size, dtype=np.float64)
+        matched = np.zeros(size, dtype=bool)
+        for t in sorted(qtf):  # == term_id order (lexical dictionary)
+            tp = self.term_post.get(t)
+            idf = self.term_idf.get(t, 0.0)
+            if tp is None or idf == 0.0:
+                continue
+            w = float(qtf[t]) * idf
+            score[tp.doc_ids] += w * tp.contribs  # doc_ids unique per term
+            matched[tp.doc_ids] = True
+        cand_ids = np.flatnonzero(matched)
+        cand_scores = score[cand_ids]
+
+        n = len(cand_ids)
+        k_loc = min(k, n)
+        order = np.lexsort((cand_ids, cand_scores))
+        sel = order[-k_loc:][::-1]
+        out = [(int(cand_ids[i]), qconst + float(cand_scores[i])) for i in sel]
+        if n < k:  # δ-padding: highest unmatched doc_ids
+            matched = set(cand_ids.tolist())
+            for d in self.all_doc_ids[::-1]:
+                if len(out) == k:
+                    break
+                if int(d) not in matched:
+                    out.append((int(d), qconst))
+        return out

@@ -1,0 +1,55 @@
+"""Local serving mode == distributed WAND path, bit for bit; and it
+answers queries at interactive latency."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+
+from legal_text_retrieval_spark.config import BM25Params, IndexParams
+from legal_text_retrieval_spark.index import builder, serving, wand
+
+PARAMS = IndexParams(block_size=16, segment_doc_window=64, bm25=BM25Params(k1=1.2))
+
+
+@pytest.fixture(scope="module")
+def served(spark, tiny_docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("srv"))
+    builder.build_index(spark, tiny_docs, root, PARAMS)
+    return (
+        wand.FulltextIndex.load(spark, root),
+        serving.LocalIndexServer.load(spark, root),
+    )
+
+
+def test_serving_matches_wand_bitwise(spark, served, tiny_queries, tiny_queries_pdf):
+    index, srv = served
+    want = wand.query_topk(index, tiny_queries, k=10).toPandas()
+    by_q = {q: g.sort_values("rank") for q, g in want.groupby("query_id")}
+    for _, row in tiny_queries_pdf.iterrows():
+        got = srv.query(row.query_text, k=10)
+        w = by_q[row.query_id]
+        assert [d for d, _ in got] == w["doc_id"].tolist(), row.query_id
+        gs = np.array([s for _, s in got])
+        assert (gs.view("int64") == w["score"].values.view("int64")).all(), row.query_id
+
+
+def test_serving_oov_padding(served):
+    _, srv = served
+    got = srv.query("zz yy xx", k=5)
+    assert [d for d, _ in got] == [199, 198, 197, 196, 195]
+    assert all(s == 0.0 for _, s in got)
+
+
+def test_serving_latency_interactive(served, tiny_queries_pdf):
+    _, srv = served
+    texts = list(tiny_queries_pdf["query_text"])
+    srv.query(texts[0], k=10)  # warm
+    t0 = time.time()
+    n = 200
+    for i in range(n):
+        srv.query(texts[i % len(texts)], k=10)
+    per_q = (time.time() - t0) / n
+    assert per_q < 0.05, per_q  # well under 50 ms/query on 200 docs
