@@ -45,6 +45,7 @@ from . import codec
 
 POSTINGS_SCHEMA = T.StructType(
     [
+        T.StructField("build_part", T.IntegerType()),  # producing shuffle partition
         T.StructField("term_id", T.LongType()),
         T.StructField("seg_id", T.LongType()),
         T.StructField("n_docs", T.LongType()),
@@ -88,9 +89,56 @@ class IndexPaths:
     def lineage(self) -> str:
         return f"{self.root}/lineage"
 
+    @property
+    def lineage_partitions(self) -> str:
+        return f"{self.root}/lineage_partitions"
+
 
 def _done(path: str) -> bool:
     return Path(path, "_SUCCESS").exists()
+
+
+# vocab size above which term-id assignment switches from a single
+# global window to the distributed range-partition + offset scheme
+DISTRIBUTED_TERMID_THRESHOLD = 1_000_000
+
+
+def assign_term_ids(df: DataFrame, distributed: bool | None = None) -> DataFrame:
+    """Dense lexical-order term_id over a (term, …) relation.
+
+    Small vocabularies: one global row_number window.  Code-corpus
+    vocabularies (identifiers → billions of terms) would serialize on
+    that window, so above DISTRIBUTED_TERMID_THRESHOLD the assignment
+    runs as range-partition by term → per-partition parallel windows →
+    add broadcast per-partition offsets.  The term→id mapping is
+    identical either way (global lexical order).
+    """
+    spark = df.sparkSession
+    if distributed is None:
+        distributed = df.count() > DISTRIBUTED_TERMID_THRESHOLD
+    if not distributed:
+        w = Window.orderBy("term")
+        return df.withColumn("term_id", F.row_number().over(w).cast("long") - 1)
+
+    p = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(p, "term")
+        .withColumn("part", F.spark_partition_id())
+        .persist()  # pin the (sampled) range boundaries for both passes
+    )
+    sizes = {r.part: r.cnt for r in ranged.groupBy("part").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for part in sorted(sizes):
+        offsets.append((part, acc))
+        acc += sizes[part]
+    off_df = spark.createDataFrame(offsets, ["part", "off"])
+    w = Window.partitionBy("part").orderBy("term")  # parallel windows
+    out = (
+        ranged.join(F.broadcast(off_df), "part")
+        .withColumn("term_id", (F.row_number().over(w) + F.col("off") - 1).cast("long"))
+        .drop("part", "off")
+    )
+    return out
 
 
 def _pack_group(term_id, seg_id, doc_ids, tfs, dls, params: IndexParams, avgdl: float):
@@ -111,6 +159,7 @@ def _pack_group(term_id, seg_id, doc_ids, tfs, dls, params: IndexParams, avgdl: 
         bl.append(int(doc_ids[e - 1]))
         bm.append(float(tfp[s:e].max()))
     return {
+        "build_part": -1,  # stamped by the pack kernel
         "term_id": int(term_id),
         "seg_id": int(seg_id),
         "n_docs": n,
@@ -133,10 +182,16 @@ def _make_pack_fn(params: IndexParams, avgdl: float):
     per-group frames, no per-group sort — pure numpy slicing."""
 
     def pack(batches) -> "pd.DataFrame":
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
         carry = None  # (term_id, seg_id, doc_ids, tfs, dls) columns of the open run
 
         def emit(rows):
-            return pd.DataFrame(rows)
+            pdf = pd.DataFrame(rows)
+            pdf["build_part"] = pid
+            return pdf
 
         rows = []
 
@@ -276,8 +331,7 @@ def build_index(
             idf = raw.withColumn(
                 "idf", F.expr(f"CASE WHEN idf0 < 0 THEN CAST({eps!r} AS DOUBLE) ELSE idf0 END")
             ).drop("idf0")
-        w = Window.orderBy("term")
-        return idf.withColumn("term_id", F.row_number().over(w).cast("long") - 1)
+        return assign_term_ids(idf)
 
     dictionary = stage("dictionary", paths.dictionary, make_dictionary)
 
@@ -306,7 +360,8 @@ def build_index(
     t0 = time.time()
     postings = stage("postings", paths.postings, make_postings)
 
-    # -- lineage + metrics (north_rule: postings/sec, bytes, skew ratio)
+    # -- lineage + metrics (north_rule: postings/sec, bytes, skew ratio,
+    # per-partition records)
     if not (resume and _done(paths.lineage)):
         lineage = postings.groupBy("term_id").agg(
             F.sum("n_docs").alias("postings"),
@@ -314,6 +369,16 @@ def build_index(
             F.count("*").alias("segments"),
         )
         lineage.write.mode("overwrite").parquet(paths.lineage)
+    if not (resume and _done(paths.lineage_partitions)):
+        # per shuffle-partition record of the pack stage: which worker
+        # partition produced how many groups/postings/bytes
+        postings.groupBy("build_part").agg(
+            F.count("*").alias("groups"),
+            F.sum("n_docs").alias("postings"),
+            F.sum("enc_bytes").alias("bytes"),
+            F.min("term_id").alias("first_term_id"),
+            F.max("term_id").alias("last_term_id"),
+        ).write.mode("overwrite").parquet(paths.lineage_partitions)
     lineage = spark.read.parquet(paths.lineage)
     # one combined metrics job over the (small) packed-postings table
     agg = postings.agg(
@@ -341,6 +406,9 @@ def build_index(
             "max_term_postings": int(max_term_postings),
             "max_group_postings": int(seg_agg[0]),
             "build_seconds": round(build_secs, 3),
+            "n_build_partitions": int(
+                spark.read.parquet(paths.lineage_partitions).count()
+            ),
             "docs_per_sec": round(n_docs / max(1e-9, build_secs), 1),
             "postings_per_sec": round(total_postings / max(1e-9, build_secs), 1),
         }

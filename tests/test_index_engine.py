@@ -43,6 +43,14 @@ def test_manifest_metrics(index):
     assert all(s["path"] for s in m["stages"].values())
 
 
+def test_per_partition_lineage(spark, index_paths, index):
+    lp = spark.read.parquet(index_paths.lineage_partitions).toPandas()
+    assert len(lp) >= 1
+    assert (lp["build_part"] >= 0).all()
+    assert lp["postings"].sum() == index.manifest["total_postings"]
+    assert lp["bytes"].sum() == index.manifest["bytes_compressed"]
+
+
 def test_integrity_sha256(spark, index_paths, tiny_docs):
     assert builder.verify_integrity(spark, index_paths, tiny_docs) == 0
 

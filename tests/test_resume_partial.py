@@ -44,6 +44,7 @@ def test_partial_resume_bit_identical(spark, tiny_docs, tmp_path):
     shutil.copytree(full, part)
     shutil.rmtree(Path(part, "postings"))
     shutil.rmtree(Path(part, "lineage"))
+    shutil.rmtree(Path(part, "lineage_partitions"))
     paths = builder.build_index(spark, tiny_docs, part, PARAMS, resume=True)
 
     import json
