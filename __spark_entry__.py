@@ -106,7 +106,8 @@ def build_or_load_index(spark, sf_dir: str):
     from legal_text_retrieval_spark.index.builder import build_index
     from legal_text_retrieval_spark.index.wand import FulltextIndex
 
-    root = f"/tmp/lts_index_v1/{Path(sf_dir.rstrip('/')).name}"
+    # bump the version segment whenever the index layout changes
+    root = f"/tmp/lts_index_v2/{Path(sf_dir.rstrip('/')).name}"
     docs = _docs(spark, sf_dir)
     paths = build_index(
         spark, docs, root, IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
