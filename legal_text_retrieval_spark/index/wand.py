@@ -241,8 +241,13 @@ def query_topk(
         .filter(F.col("rank") <= k)
     )
 
-    # matched-doc deficit per query (0 rows or < k candidates → pad)
-    counts = local.groupBy("qid").agg(F.sum("n_cand").alias("n_matched"))
+    # matched-doc deficit per query (0 rows or < k candidates → pad).
+    # Row count is the right statistic: when the true matched total is
+    # < k every segment emits ALL its candidates (rows == matched), and
+    # when it's ≥ k the row count is ≥ k so no padding triggers.
+    # (Σ n_cand over rows would double-count — each row repeats its
+    # segment's candidate count.)
+    counts = local.groupBy("qid").agg(F.count("*").alias("n_matched"))
     need = (
         qconst.join(counts, "qid", "left")
         .fillna({"n_matched": 0})

@@ -85,3 +85,40 @@ def test_wand_pruning_skips_blocks(spark):
         assert all(f <= l for f, l in zip(r.block_first, r.block_last))
         assert max(r.block_max_tfpart) == pytest.approx(r.seg_max_tfpart)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_padding_with_few_matches_multi_segment(spark):
+    """Regression: a query matching fewer than k docs spread over
+    multiple segments must be padded to exactly k rows (the old
+    Σ n_cand predicate double-counted and skipped padding)."""
+    import pandas as pd
+
+    from legal_text_retrieval_spark.config import BM25Params, IndexParams
+    from legal_text_retrieval_spark.index import builder, wand
+    from legal_text_retrieval_spark.operators import bm25 as B
+
+    rows = [{"doc_id": i, "content": "filler words only"} for i in range(40)]
+    # 4 matching docs, 2 per 8-doc segment: the old predicate summed
+    # n_cand per ROW (2 rows × n_cand 2 × 2 segments = 8 ≥ k) and
+    # wrongly skipped padding even though only 4 docs matched
+    for d in (1, 2, 11, 12):
+        rows[d]["content"] = "needle filler"
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="padfix_")
+    params = IndexParams(block_size=4, segment_doc_window=8, bm25=BM25Params(k1=1.2))
+    builder.build_index(spark, docs, root, params)
+    idx = wand.FulltextIndex.load(spark, root)
+    q = spark.createDataFrame(pd.DataFrame({"query_id": ["q"], "query_text": ["needle"]}))
+    got = wand.query_topk(idx, q, k=5).toPandas().sort_values("rank")
+    assert len(got) == 5
+    want = (
+        B.bm25_topk(docs, q, params.bm25, k=5, score_round=None)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (
+        got["score"].values.view("int64") == want["score"].values.view("int64")
+    ).all()
