@@ -97,8 +97,11 @@ class FulltextIndex:
         return self._docstats_cache
 
 
-def _make_kernel(params: BM25Params, avgdl: float, window: int, k: int, prune: bool):
+def _make_kernel(
+    params: BM25Params, avgdl: float, window: int, k: int, prune: bool, block_size: int = 128
+):
     p = params
+    bs = block_size
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["qid"].iloc[0]
@@ -142,7 +145,9 @@ def _make_kernel(params: BM25Params, avgdl: float, window: int, k: int, prune: b
             if keep.all():
                 ids, tfs, dls = ids_all, tfs_all, dls_all
             else:
-                bs = int(np.ceil(len(ids_all) / len(bf)))
+                # blocks are fixed-size except the last — expand the
+                # per-block mask with the TRUE build block size (an
+                # inferred size would misalign on a short tail block)
                 sel = np.repeat(keep, bs)[: len(ids_all)]
                 ids, tfs, dls = ids_all[sel], tfs_all[sel], dls_all[sel]
             contrib = w * codec.tf_part(tfs, dls, p.k1, p.b, avgdl, p.variant)
@@ -229,7 +234,14 @@ def query_topk(
     post = index.postings().where(F.col("term_id").isin(term_ids))
     joined = post.join(F.broadcast(qterms), "term_id")
 
-    kernel = _make_kernel(params, avgdl, window, k, prune=(mode == "wand"))
+    kernel = _make_kernel(
+        params,
+        avgdl,
+        window,
+        k,
+        prune=(mode == "wand"),
+        block_size=index.manifest["params"].get("block_size", 128),
+    )
     # local top-k rows are tiny (≤ queries × segments × k) — cache so the
     # merge window, the deficit count and the padding anti-join reuse
     # one kernel materialization.

@@ -51,7 +51,7 @@ def _segment_row(rng, term_id, seg_id, n_docs):
     n_terms=st.integers(1, 8),
     k=st.sampled_from([1, 3, 10, 50]),
 )
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=150, deadline=None)
 def test_pruned_equals_exhaustive(seed, n_terms, k):
     rng = np.random.default_rng(seed)
     rows = [
@@ -59,8 +59,8 @@ def test_pruned_equals_exhaustive(seed, n_terms, k):
         for t in range(n_terms)
     ]
     pdf = pd.DataFrame(rows)
-    out_prune = _make_kernel(PARAMS, AVGDL, WINDOW, k, prune=True)(pdf.copy())
-    out_exh = _make_kernel(PARAMS, AVGDL, WINDOW, k, prune=False)(pdf.copy())
+    out_prune = _make_kernel(PARAMS, AVGDL, WINDOW, k, prune=True, block_size=BLOCK)(pdf.copy())
+    out_exh = _make_kernel(PARAMS, AVGDL, WINDOW, k, prune=False, block_size=BLOCK)(pdf.copy())
     assert out_prune["doc_id"].tolist() == out_exh["doc_id"].tolist()
     assert (
         out_prune["ms"].to_numpy().view("int64") == out_exh["ms"].to_numpy().view("int64")
