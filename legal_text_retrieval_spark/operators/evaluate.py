@@ -111,7 +111,7 @@ def softmax_per_query(scored: DataFrame, score_round: int = 6) -> DataFrame:
         .select(
             "query_id",
             F.col("x.doc_id").alias("doc_id"),
-            F.expr(round_sql("exp(x.score - mx) / den", 6)).alias("prob"),
+            F.expr(round_sql("exp(x.score - mx) / den", score_round)).alias("prob"),
         )
     )
 
@@ -124,7 +124,7 @@ WITH scored AS ({scored_sql}),
 g AS (SELECT query_id, {mx} AS mx FROM scored GROUP BY query_id),
 d AS (SELECT s.query_id, {den} AS den, any_value(mx) AS mx
       FROM scored s JOIN g USING (query_id) GROUP BY s.query_id)
-SELECT s.query_id, s.doc_id, {round_sql("exp(s.score - d.mx) / d.den", 6)} AS prob
+SELECT s.query_id, s.doc_id, {round_sql("exp(s.score - d.mx) / d.den", score_round)} AS prob
 FROM scored s JOIN d USING (query_id)
 ORDER BY query_id, doc_id
 """
