@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import BM25Params, IndexParams
+from ..functions.ids import DISTRIBUTED_ID_THRESHOLD, assign_dense_ids
 from ..operators import stats as ops_stats
 from . import codec
 
@@ -100,45 +101,25 @@ def _done(path: str) -> bool:
 
 # vocab size above which term-id assignment switches from a single
 # global window to the distributed range-partition + offset scheme
-DISTRIBUTED_TERMID_THRESHOLD = 1_000_000
+DISTRIBUTED_TERMID_THRESHOLD = DISTRIBUTED_ID_THRESHOLD
 
 
-def assign_term_ids(df: DataFrame, distributed: bool | None = None) -> DataFrame:
+def assign_term_ids(
+    df: DataFrame, distributed: bool | None = None, materialize_path: str | None = None
+) -> DataFrame:
     """Dense lexical-order term_id over a (term, …) relation.
 
     Small vocabularies: one global row_number window.  Code-corpus
     vocabularies (identifiers → billions of terms) would serialize on
     that window, so above DISTRIBUTED_TERMID_THRESHOLD the assignment
-    runs as range-partition by term → per-partition parallel windows →
-    add broadcast per-partition offsets.  The term→id mapping is
-    identical either way (global lexical order).
+    runs as range-partition by term → materialize (durable parquet when
+    ``materialize_path`` is given, else a lineage-truncating local
+    checkpoint — a lost partition fails instead of silently recomputing
+    different range boundaries) → per-partition parallel windows +
+    broadcast offsets.  The term→id mapping is identical either way
+    (global lexical order): functions/ids.py.
     """
-    spark = df.sparkSession
-    if distributed is None:
-        distributed = df.count() > DISTRIBUTED_TERMID_THRESHOLD
-    if not distributed:
-        w = Window.orderBy("term")
-        return df.withColumn("term_id", F.row_number().over(w).cast("long") - 1)
-
-    p = max(2, spark.sparkContext.defaultParallelism)
-    ranged = (
-        df.repartitionByRange(p, "term")
-        .withColumn("part", F.spark_partition_id())
-        .persist()  # pin the (sampled) range boundaries for both passes
-    )
-    sizes = {r.part: r.cnt for r in ranged.groupBy("part").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = [], 0
-    for part in sorted(sizes):
-        offsets.append((part, acc))
-        acc += sizes[part]
-    off_df = spark.createDataFrame(offsets, ["part", "off"])
-    w = Window.partitionBy("part").orderBy("term")  # parallel windows
-    out = (
-        ranged.join(F.broadcast(off_df), "part")
-        .withColumn("term_id", (F.row_number().over(w) + F.col("off") - 1).cast("long"))
-        .drop("part", "off")
-    )
-    return out
+    return assign_dense_ids(df, ["term"], "term_id", distributed, materialize_path)
 
 
 def _pack_group(term_id, seg_id, doc_ids, tfs, dls, params: IndexParams, avgdl: float):
@@ -331,7 +312,7 @@ def build_index(
             idf = raw.withColumn(
                 "idf", F.expr(f"CASE WHEN idf0 < 0 THEN CAST({eps!r} AS DOUBLE) ELSE idf0 END")
             ).drop("idf0")
-        return assign_term_ids(idf)
+        return assign_term_ids(idf, materialize_path=f"{out_dir}/_termid_ranged")
 
     dictionary = stage("dictionary", paths.dictionary, make_dictionary)
 

@@ -78,23 +78,46 @@ SELECT DISTINCT doc_id, shingle FROM (
 
 
 def dedup_ngram_jaccard(
-    docs: DataFrame, n: int = 3, threshold: float = 0.04, text_col: str = "content"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.04,
+    text_col: str = "content",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) all-pairs shingle Jaccard ≥ threshold.
-    The exact verification kernel; at scale feed LSH candidates instead
-    of self-joining the full corpus."""
+    """(doc_a, doc_b, jaccard) shingle Jaccard ≥ threshold.
+
+    With ``pairs=None`` this is the all-pairs exact kernel — the
+    small-scale oracle.  With ``pairs`` (doc_a, doc_b), the whole plan
+    is candidate-bounded: each side of the shingle join is first
+    LEFT-SEMI-joined to the candidate doc set, and pairs are restricted
+    to ``pairs`` BEFORE the intersection aggregate — so the shuffle is
+    proportional to candidate volume, never n².  This is the 100 TB
+    verify path used by dedup_minhash_lsh."""
     sh = doc_shingles(docs, n, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sha, shb = sh, sh
+    if pairs is not None:
+        # semi-joins keep every shingle of a kept doc, so per-doc sizes
+        # computed from sha/shb below are still the true full counts
+        sha = sh.join(
+            pairs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        )
+        shb = sh.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        )
+    sizes_a = sha.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes_b = shb.groupBy("doc_id").agg(F.count("*").alias("sz")) if pairs is not None else sizes_a
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        sha.alias("a")
+        .join(shb.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+    if pairs is not None:
+        inter = inter.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+    inter = inter.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        inter.join(sizes_a.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes_b.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
         .withColumn(
             "jaccard",
             F.expr(round_sql("CAST(inter AS DOUBLE) / (sza + szb - inter)", 9)),
@@ -149,8 +172,12 @@ def dedup_minhash_lsh(
     """(doc_a, doc_b, jaccard): banded-LSH candidates (8 bands × 2 rows)
     verified with exact shingle Jaccard ≥ threshold.
 
-    At scale the band join shuffles only (band, key, doc_id) rows and
-    the verify join touches only candidate docs."""
+    The band join shuffles only (band, key, doc_id) rows, and the
+    verify step is CANDIDATE-BOUNDED in the Spark plan itself: shingles
+    are semi-joined to the candidate doc set and pairs restricted to
+    the candidate list before the intersection aggregate
+    (dedup_ngram_jaccard(pairs=cand)) — the n² shingle self-join never
+    executes, mirroring the DuckDB twin exactly."""
     sig = minhash_signatures(docs, n, text_col)
     bands = None
     for b in range(_BANDS):
@@ -167,8 +194,9 @@ def dedup_minhash_lsh(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = dedup_ngram_jaccard(docs, n, threshold, text_col)
-    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    return dedup_ngram_jaccard(docs, n, threshold, text_col, pairs=cand).select(
+        "doc_a", "doc_b", "jaccard"
+    )
 
 
 def dedup_minhash_lsh_sql(

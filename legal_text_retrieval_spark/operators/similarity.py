@@ -241,9 +241,56 @@ ORDER BY query_vec_id
 """
 
 
-def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """(vec_a, vec_b, cos) — embedding-cosine near-duplicate pairs.
-    All-pairs form (exact); at scale restrict to LSH-bucket pairs."""
+def near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35, nplanes: int = _NPLANES
+) -> DataFrame:
+    """(vec_a, vec_b, cos) — embedding-cosine near-duplicate pairs,
+    restricted to LSH-bucket co-occupants (the 100 TB scale path: the
+    pair join is an equi-join on ``sig``, shuffle bounded by bucket
+    sizes, never n²).  Recall < 1 by design; ``near_dup_pairs_exact``
+    is the all-pairs oracle for recall measurement
+    (tests/test_dedup_similarity.py)."""
+    sig = lsh_signatures(embeddings, nplanes)
+    e = embeddings.join(sig, "vec_id")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "sig")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.expr(
+                round_sql(
+                    _DOT.format(a="ea", b="eb")
+                    + " / (" + _NORM.format(a="ea") + " * " + _NORM.format(a="eb") + ")",
+                    6,
+                )
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def near_dup_pairs_sql(table: str, threshold: float = 0.35, nplanes: int = _NPLANES) -> str:
+    cos = round_sql(
+        _dot_sql("a.ea", "b.eb") + f" / ({_norm_sql('a.ea')} * {_norm_sql('b.eb')})", 6
+    )
+    return f"""
+WITH sig AS ({lsh_signatures_sql(table, nplanes)}),
+e AS (SELECT t.vec_id, t.embedding, s.sig FROM {table} t JOIN sig s USING (vec_id)),
+a AS (SELECT vec_id AS vec_a, embedding AS ea, sig FROM e),
+b AS (SELECT vec_id AS vec_b, embedding AS eb, sig FROM e)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT vec_a, vec_b, {cos} AS cos FROM a JOIN b USING (sig) WHERE vec_a < vec_b)
+WHERE cos >= {dlit(threshold)}
+ORDER BY vec_a, vec_b
+"""
+
+
+def near_dup_pairs_exact(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """All-pairs exact form — the recall oracle for ``near_dup_pairs``;
+    O(n²), small-scale verification only."""
     a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
@@ -264,7 +311,7 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     )
 
 
-def near_dup_pairs_sql(table: str, threshold: float = 0.35) -> str:
+def near_dup_pairs_exact_sql(table: str, threshold: float = 0.35) -> str:
     cos = round_sql(
         _dot_sql("a.ea", "b.eb") + f" / ({_norm_sql('a.ea')} * {_norm_sql('b.eb')})", 6
     )

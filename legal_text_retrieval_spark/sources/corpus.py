@@ -18,9 +18,10 @@ matches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ids import assign_dense_ids
 from ..functions.sqlgen import std_sql, tokens_sql
 from ..functions.text import standardize
 
@@ -35,20 +36,27 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def load_corpus(spark: SparkSession, path: str) -> DataFrame:
+def load_corpus(
+    spark: SparkSession,
+    path: str,
+    distributed: bool | None = None,
+    materialize_path: str | None = None,
+) -> DataFrame:
     """Iceberg-shaped corpus (repo, path, commit, lang, content) →
     + dense doc_id + content_sha integrity column (input_hint).
 
-    doc_id = row_number over (repo, path, commit): deterministic, dense,
-    mirrors the reference's insertion-order docID.  At 10^12-file scale
-    this is a global sort — done ONCE at ingest and persisted; all later
+    doc_id = dense rank under ORDER BY (repo, path, commit):
+    deterministic, mirrors the reference's insertion-order docID.  At
+    10^12-file scale a single global window would push every row
+    through ONE task, so assignment uses the same range-partition +
+    broadcast-offset scheme as term ids (functions/ids.assign_dense_ids
+    — identical ids, parallel windows); done ONCE at ingest, all later
     stages key on the materialized doc_id.
     """
     df = spark.read.parquet(path) if not path.startswith("table:") else spark.read.table(path[6:])
-    w = Window.orderBy("repo", "path", "commit")
-    return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1).withColumn(
-        "content_sha", F.sha2(F.col("content"), 256)
-    )
+    return assign_dense_ids(
+        df, ["repo", "path", "commit"], "doc_id", distributed, materialize_path
+    ).withColumn("content_sha", F.sha2(F.col("content"), 256))
 
 
 def derived_queries(docs: DataFrame) -> DataFrame:

@@ -24,3 +24,35 @@ def test_load_corpus_assigns_dense_docids(spark, tmp_path):
 
     row = docs.iloc[7]
     assert row["content_sha"] == hashlib.sha256(row["content"].encode()).hexdigest()
+
+
+def test_load_corpus_distributed_docids_match_window(spark, tmp_path):
+    """The range-partition + offset assignment (the 10^12-file path)
+    must produce bit-for-bit the same doc_ids as the global window, and
+    its plan must not contain a no-partition global window exchange."""
+    from legal_text_retrieval_spark.fixtures import make_corpus
+    from legal_text_retrieval_spark.sources.corpus import load_corpus
+
+    pdf = make_corpus(200)
+    p = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(p)
+
+    a = (
+        load_corpus(spark, p, distributed=False)
+        .select("repo", "path", "commit", "doc_id")
+        .toPandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    b_df = load_corpus(
+        spark, p, distributed=True, materialize_path=str(tmp_path / "ranged")
+    )
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    b = (
+        b_df.select("repo", "path", "commit", "doc_id")
+        .toPandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

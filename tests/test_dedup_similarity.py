@@ -78,6 +78,64 @@ def test_minhash_lsh_subset_and_high_sim_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_minhash_lsh_jaccard_values_match_exact(spark):
+    """The candidate-bounded verify must compute the SAME jaccard for a
+    surviving pair as the all-pairs kernel (sizes are full per-doc
+    shingle counts even after the semi-joins)."""
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(20):
+        toks = list(rng.choice(vocab, size=50))
+        rows.append({"doc_id": 2 * i, "content": " ".join(toks)})
+        mut = toks.copy()
+        for j in rng.choice(50, size=3, replace=False):
+            mut[j] = str(rng.choice(vocab))
+        rows.append({"doc_id": 2 * i + 1, "content": " ".join(mut)})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+
+    from legal_text_retrieval_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(docs, threshold=0.0).collect()
+    }
+    lsh = dedup_minhash_lsh(docs, threshold=0.3).collect()
+    assert lsh
+    for r in lsh:
+        assert exact[(r.doc_a, r.doc_b)] == r.jaccard
+
+
+def test_minhash_lsh_plan_is_candidate_bounded(spark):
+    """100 TB guard: the verify side of the LSH plan must semi-join the
+    shingle relation to the candidate doc set on BOTH sides — a corpus
+    where every doc shares one pathological high-df shingle but has no
+    banded candidates must produce 0 verify pairs, and the physical
+    plan must contain the two LeftSemi restrictions."""
+    from legal_text_retrieval_spark.operators.dedup import dedup_minhash_lsh
+
+    rng = np.random.default_rng(17)
+    rows = [
+        {
+            "doc_id": i,
+            # shared hot shingle "x x x ..." at the head of every doc
+            "content": "x x x " + " ".join(f"u{i}_{j}" for j in range(30)),
+        }
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = dedup_minhash_lsh(docs, threshold=0.01)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2, plan
+    # otherwise-unique docs: the banded join yields (essentially) no
+    # candidates, so the candidate-bounded verify is ~empty even though
+    # the hot shingle would give n²/2 = 1770 all-pairs intersections
+    assert out.count() == 0
+
+
 def test_simhash_near_dup_close(spark, dup_docs):
     from legal_text_retrieval_spark.operators.dedup import simhash
 
@@ -122,6 +180,38 @@ def test_ann_lsh_is_bucketed_subset(spark):
     exact = cosine_topk(df, k=200).toPandas()
     merged = ann.merge(exact, on=["query_vec_id", "vec_id"], suffixes=("_a", "_e"))
     assert (merged["cos_a"] == merged["cos_e"]).all()
+
+
+def test_near_dup_pairs_bucketed_subset_and_recall(spark):
+    """Bucketed near-dup ⊆ exact all-pairs with identical cos values;
+    recall on true near-dups (cos ≥ 0.9 → same LSH bucket with high
+    probability) must be high.  No CartesianProduct in the plan."""
+    from legal_text_retrieval_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_exact,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs = [base[i] for i in range(40)]
+    # 40 near-dup partners: tiny perturbation → cos ≈ 1
+    vecs += [(base[i] + 0.01 * rng.normal(size=16).astype(np.float32)) for i in range(40)]
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+
+    bucketed = near_dup_pairs(df, threshold=0.5)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+    got = {(r.vec_a, r.vec_b): r.cos for r in bucketed.collect()}
+    exact = {(r.vec_a, r.vec_b): r.cos for r in near_dup_pairs_exact(df, threshold=0.5).collect()}
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert exact[k] == v
+    hi = {k for k, v in exact.items() if v >= 0.9}
+    assert hi
+    recall = len(set(got) & hi) / len(hi)
+    assert recall >= 0.85, recall
 
 
 def test_fingerprint_order_sensitive(spark):
