@@ -51,19 +51,62 @@ def _tf_part(params: BM25Params) -> str:
     return f"((tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / __avgdl__)))"
 
 
+# bucket count for the ε-floor mean fold: at 10^9-term vocabularies no
+# single task ever folds more than ~|vocab|/1024 values (vs the whole
+# vocabulary in one array with a flat term-ordered fold)
+_EPS_BUCKETS = 1024
+
+
 def _ordered_mean_idf0(raw: DataFrame) -> float:
-    """mean(idf0) with a term-ordered fold, so every consumer (builder
-    dictionary, relational scorer, DuckDB oracle) derives the exact
-    same ε floor bit-for-bit."""
-    row = (
-        raw.agg(F.array_sort(F.collect_list(F.struct("term", "idf0"))).alias("a"))
+    """mean(idf0) with a DETERMINISTIC TWO-LEVEL fold, so every consumer
+    (builder dictionary, relational scorer, DuckDB oracle) derives the
+    exact same ε floor bit-for-bit, and no single task holds the whole
+    vocabulary: terms hash (md5, engine-portable) into _EPS_BUCKETS
+    buckets; level 1 folds each bucket's idf0 in term order (parallel
+    across buckets); level 2 folds the bucket sums in bucket order
+    (one tiny array).  DuckDB twin: _mean_idf0_ctes."""
+    from ..functions.text import md5_hash60
+
+    b1 = (
+        raw.withColumn("bkt", md5_hash60(F.col("term")) % _EPS_BUCKETS)
+        .groupBy("bkt")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "idf0"))).alias("a"))
         .select(
+            "bkt",
             F.expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.idf0)").alias("s"),
-            F.expr("size(a)").alias("n"),
+            F.size("a").cast("long").alias("c"),
+        )
+    )
+    row = (
+        b1.agg(
+            F.array_sort(F.collect_list(F.struct("bkt", "s"))).alias("a"),
+            F.sum("c").alias("n"),
+        )
+        .select(
+            F.expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.s)").alias("s"),
+            "n",
         )
         .collect()[0]
     )
     return row.s / row.n
+
+
+def mean_idf0_ctes(raw_cte: str = "raw", prefix: str = "e_") -> str:
+    """DuckDB twin of _ordered_mean_idf0: comma-joined CTEs defining
+    ``{prefix}mean(mean)`` over a ``{raw_cte}(term, idf0)`` relation —
+    the identical two-level md5-bucketed fold."""
+    from ..functions.sqlgen import md5_hash60_sql
+
+    h = md5_hash60_sql("term")
+    return (
+        f"{prefix}bsum AS (SELECT bkt, "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(idf0 ORDER BY term)), (x, y) -> x + y) AS s, "
+        f"count(*) AS c "
+        f"FROM (SELECT term, idf0, ({h}) % {_EPS_BUCKETS} AS bkt FROM {raw_cte}) GROUP BY bkt), "
+        f"{prefix}mean AS (SELECT "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY bkt)), (x, y) -> x + y) "
+        f"/ sum(c) AS mean FROM {prefix}bsum)"
+    )
 
 
 def query_term_occurrences(queries: DataFrame, query_col: str = "query_text") -> DataFrame:
@@ -78,17 +121,30 @@ def query_term_occurrences(queries: DataFrame, query_col: str = "query_text") ->
     )
 
 
-def bm25_scores(
+class _BM25Pieces:
+    """The shared sub-plans of a BM25 batch query:
+
+    - ``matched``: (query_id, doc_id, ms) — term-matched pairs only,
+      ms = Σ contributions folded in term order.  ms > 0 whenever
+      ``pad_safe`` (every surviving idf is strictly positive).
+    - ``qconst``: (query_id, qconst) — the per-query δ-constant every
+      doc (matched or not) is owed; 0 for okapi.
+    - ``dl``: (doc_id, dl).
+    - ``pad_safe``: True when matched scores strictly exceed the
+      unmatched score qconst, i.e. deficit-padding is rank-exact.
+    """
+
+    def __init__(self, matched, qconst, dl, pad_safe):
+        self.matched, self.qconst, self.dl, self.pad_safe = matched, qconst, dl, pad_safe
+
+
+def _bm25_pieces(
     docs: DataFrame,
     queries: DataFrame,
     params: BM25Params,
     text_col: str = "content",
     query_col: str = "query_text",
-    score_round: int | None = None,
-) -> DataFrame:
-    """(query_id, doc_id, score) over ALL docs (reference scores the
-    whole corpus; zero-match docs get the per-query δ-constant)."""
-    spark = docs.sparkSession
+) -> _BM25Pieces:
     n, avgdl = (
         stats.doc_lengths(docs, text_col)
         .agg(F.count("*"), F.sum("dl").cast("double") / F.count("*"))
@@ -99,9 +155,11 @@ def bm25_scores(
     tf = stats.term_frequencies(docs, text_col)
 
     if params.variant == "plus":
+        # idf = ln((n+1)/df) ≥ ln((n+1)/n) > 0: matched always beats qconst
         idf = stats.document_frequencies(docs, text_col).withColumn(
             "idf", F.expr(f"ln({_fmt(n + 1)} / df)")
         )
+        pad_safe = True
     else:
         raw = stats.document_frequencies(docs, text_col).withColumn(
             "idf0",
@@ -112,6 +170,10 @@ def bm25_scores(
         )
         eps = params.epsilon * _ordered_mean_idf0(raw)
         idf = raw.withColumn("idf", F.expr(f"CASE WHEN idf0 < 0 THEN {_fmt(eps)} ELSE idf0 END"))
+        # eps > 0 → every floored idf > 0 → matched ms strictly > 0;
+        # eps ≤ 0 (tiny-vocab/repetitive corpora) → negative matched
+        # scores can rank BELOW unmatched docs, so padding is unsafe
+        pad_safe = eps > 0
 
     qocc = query_term_occurrences(queries, query_col)
     # query terms hydrated with idf (0 for out-of-vocabulary terms)
@@ -148,11 +210,28 @@ def bm25_scores(
             F.expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)").alias("ms"),
         )
     )
+    return _BM25Pieces(matched, qconst, dl, pad_safe)
 
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    params: BM25Params,
+    text_col: str = "content",
+    query_col: str = "query_text",
+    score_round: int | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) over ALL docs (reference scores the
+    whole corpus; zero-match docs get the per-query δ-constant).
+
+    The dense Q×D matrix: the semantic baseline / oracle form.  For
+    top-k retrieval use :func:`bm25_topk`, whose deficit-padded plan
+    never materializes unmatched pairs."""
+    p = _bm25_pieces(docs, queries, params, text_col, query_col)
     scores = (
-        dl.select("doc_id")
-        .crossJoin(F.broadcast(qconst))
-        .join(matched, ["query_id", "doc_id"], "left")
+        p.dl.select("doc_id")
+        .crossJoin(F.broadcast(p.qconst))
+        .join(p.matched, ["query_id", "doc_id"], "left")
         .select(
             "query_id",
             "doc_id",
@@ -169,14 +248,29 @@ def bm25_scores_subset(
     queries: DataFrame,
     candidates: DataFrame,
     params: BM25Params,
+    score_round: int | None = None,
     **kw,
 ) -> DataFrame:
     """Q2: get_batch_scores — score only a per-query candidate doc set
-    (/root/reference/src/custom_rank_bm25.py:162-173) via a left-semi
-    join on (query_id, doc_id)."""
-    return bm25_scores(docs, queries, params, **kw).join(
-        candidates.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi"
+    (/root/reference/src/custom_rank_bm25.py:162-173).
+
+    Built directly from the matched sub-plan: candidates join qconst +
+    left-join matched — unmatched candidates get the δ-constant; the
+    Q×D matrix never materializes."""
+    p = _bm25_pieces(docs, queries, params, **kw)
+    scores = (
+        candidates.select("query_id", "doc_id")
+        .join(F.broadcast(p.qconst), "query_id")
+        .join(p.matched, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("qconst") + F.coalesce(F.col("ms"), F.lit(0.0))).alias("score"),
+        )
     )
+    if score_round is not None:
+        scores = scores.withColumn("score", F.expr(round_sql("score", score_round)))
+    return scores
 
 
 def topk(scores: DataFrame, k: int) -> DataFrame:
@@ -190,6 +284,59 @@ def topk(scores: DataFrame, k: int) -> DataFrame:
     )
 
 
+def topk_padded(
+    matched_scores: DataFrame,
+    base: DataFrame,
+    doc_ids: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Top-k of the IMPLICIT full matrix «score(q,d) = matched value,
+    else base(q)» without materializing unmatched pairs — the wand.py
+    δ-padding pattern (index/wand.py:279-301) for relational scorers.
+
+    - ``matched_scores``: (query_id, doc_id, score), matched pairs only;
+    - ``base``: (query_id, base_score) — one row per query, the score
+      every unmatched doc is owed;
+    - ``doc_ids``: (doc_id) — the full corpus.
+
+    PRECONDITION (checked by callers via pad_safe): every matched score
+    strictly exceeds its query's base score BEFORE rounding.  Rounding
+    can still collapse a tiny matched score onto the base, so deficit
+    queries re-rank their matched rows TOGETHER with the pad candidates
+    by (score DESC, doc_id DESC) rather than appending pads — exactly
+    the reference argsort order in every tie pattern.  Only queries
+    with fewer than k matched docs trigger the anti-join, whose left
+    side is docs × deficit-queries — bounded by the (rare) deficit
+    count."""
+    ranked = topk(matched_scores, k).cache()
+    counts = ranked.groupBy("query_id").agg(F.count("*").alias("n_matched"))
+    need = (
+        base.join(counts, "query_id", "left")
+        .fillna({"n_matched": 0})
+        .withColumn("deficit", F.greatest(F.lit(0), F.lit(k) - F.col("n_matched")))
+    )
+    deficits = need.filter(F.col("deficit") > 0).select("query_id", "base_score")
+    # deficit queries have < k matched docs, so `ranked` holds ALL their
+    # matched pairs — the anti-join below is complete.
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("doc_id"))
+    pad_cands = (
+        doc_ids.select("doc_id")
+        .crossJoin(F.broadcast(deficits))
+        .join(ranked.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= k)  # k highest unmatched doc_ids suffice
+        .select("query_id", "doc_id", F.col("base_score").alias("score"))
+    )
+    deficit_rows = (
+        ranked.join(deficits.select("query_id"), "query_id", "left_semi")
+        .select("query_id", "doc_id", "score")
+        .unionByName(pad_cands)
+    )
+    merged = topk(deficit_rows, k)
+    whole = ranked.join(deficits.select("query_id"), "query_id", "left_anti")
+    return whole.unionByName(merged)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -198,7 +345,22 @@ def bm25_topk(
     score_round: int | None = 6,
     **kw,
 ) -> DataFrame:
-    return topk(bm25_scores(docs, queries, params, score_round=score_round, **kw), k)
+    """Top-k BM25: deficit-padded plan (matched pairs + δ-pads; no Q×D
+    crossJoin) whenever matched scores provably beat the unmatched
+    constant (always for plus; okapi iff ε > 0), else the exact dense
+    fallback."""
+    p = _bm25_pieces(docs, queries, params, **kw)
+    if not p.pad_safe:
+        scores = bm25_scores(docs, queries, params, score_round=score_round, **kw)
+        return topk(scores, k)
+    matched = p.matched.join(F.broadcast(p.qconst), "query_id").select(
+        "query_id", "doc_id", (F.col("qconst") + F.col("ms")).alias("score")
+    )
+    base = p.qconst.select("query_id", F.col("qconst").alias("base_score"))
+    if score_round is not None:
+        matched = matched.withColumn("score", F.expr(round_sql("score", score_round)))
+        base = base.withColumn("base_score", F.expr(round_sql("base_score", score_round)))
+    return topk_padded(matched, base, p.dl.select("doc_id"), k)
 
 
 # ---------------------------------------------------------------- SQL twin
@@ -226,9 +388,8 @@ def bm25_ctes(table: str, queries_sql: str, params: BM25Params, text_col: str = 
     else:
         idf_cte = (
             "b_idf0 AS (SELECT term, ln(b_st.n - df + 0.5) - ln(df + 0.5) AS idf0 FROM b_dfreq, b_st), "
-            f"b_eps AS (SELECT {_fmt(params.epsilon)} * "
-            "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(idf0 ORDER BY term)), (a, b) -> a + b) "
-            "/ count(*)) AS e FROM b_idf0), "
+            + mean_idf0_ctes("b_idf0", "b_e_")
+            + f", b_eps AS (SELECT {_fmt(params.epsilon)} * mean AS e FROM b_e_mean), "
             "b_idf AS (SELECT term, CASE WHEN idf0 < 0 THEN b_eps.e ELSE idf0 END AS idf FROM b_idf0, b_eps)"
         )
         qconst_cte = (

