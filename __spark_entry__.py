@@ -204,6 +204,20 @@ qrels AS ({derived_qrels_sql("documents")})"""
     )
 
 
+def _labels_sql() -> str:
+    """(query_id, doc_id, label) for retrieved pairs (no gold append) —
+    the rerank-accuracy gold relation."""
+    return (
+        "WITH "
+        + _retrieved_ctes()
+        + """
+SELECT query_id, doc_id,
+       CASE WHEN g.gdoc IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS label
+FROM retrieved r LEFT JOIN (SELECT query_id, doc_id, doc_id AS gdoc FROM qrels) g USING (query_id, doc_id)
+"""
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):
     from legal_text_retrieval_spark.operators.chunk import chunk_documents
 
@@ -455,6 +469,111 @@ def _q_ensemble(spark, sf_dir):
     return with_negative_fallback(ensemble_predictions(_model_dfs(spark, sf_dir)))
 
 
+# synthetic 2-class logits derived from the lexical retrieval scores —
+# identical recipe on both engines (no side-channel): logit1 = score,
+# logit0 = 0.9·score + 0.5 → pred = argmax ⇔ score > 5 (mixed classes
+# on the test corpus)
+_LOGIT0 = "CAST(0.9 AS DOUBLE) * score + CAST(0.5 AS DOUBLE)"
+
+
+def _synth_logits(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _retrieved_scored(spark, sf_dir).select(
+        "query_id",
+        "doc_id",
+        F.expr(_LOGIT0).alias("logit0"),
+        F.col("score").alias("logit1"),
+    )
+
+
+def _synth_logits_sql() -> str:
+    return (
+        "WITH "
+        + _retrieved_ctes(with_score=True)
+        + f"\nSELECT query_id, doc_id, {_LOGIT0} AS logit0, score AS logit1 FROM retrieved"
+    )
+
+
+def _q_rerank_ingest(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.rerank import rerank_ingest
+
+    return rerank_ingest(_synth_logits(spark, sf_dir))
+
+
+def _q_rerank_accuracy(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.pairs import generate_pairs
+    from legal_text_retrieval_spark.operators.rerank import rerank_accuracy, rerank_ingest
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    labels = generate_pairs(
+        _retrieved(spark, sf_dir), C.derived_qrels(docs), append_gold=False
+    )
+    return rerank_accuracy(rerank_ingest(_synth_logits(spark, sf_dir)), labels)
+
+
+def _q_rerank_eval(spark, sf_dir):
+    """E5 end-to-end: rerank logits → softmax/argmax → ensemble with
+    negative fallback → micro eval vs gold (the reference's
+    aggregate_results → evaluate path)."""
+    from legal_text_retrieval_spark.operators.ensemble import (
+        ensemble_predictions,
+        with_negative_fallback,
+    )
+    from legal_text_retrieval_spark.operators.evaluate import micro_eval
+    from legal_text_retrieval_spark.operators.rerank import (
+        rerank_ingest,
+        rerank_model_output,
+    )
+    from legal_text_retrieval_spark.sources import corpus as C
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    m = rerank_model_output(rerank_ingest(_synth_logits(spark, sf_dir)))
+    final = with_negative_fallback(ensemble_predictions([m]))
+    pred = final.filter(F.col("predicted") == 1).select("query_id", "doc_id")
+    return micro_eval(pred, C.derived_qrels(docs))
+
+
+def _q_bm25_chunked_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.chunk import bm25_chunked_topk
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return bm25_chunked_topk(
+        docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K, **_CHUNK
+    )
+
+
+def _q_pair_hydration(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.pairs import generate_pairs, hydrate_pairs
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    pairs = generate_pairs(_retrieved(spark, sf_dir), C.derived_qrels(docs))
+    return hydrate_pairs(pairs, docs, C.derived_queries(docs))
+
+
+def _q_submission_rows(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.functions.text import composite_key
+    from legal_text_retrieval_spark.sources.sinks import submission_rows
+
+    docs = _docs(spark, sf_dir)
+    preds = (
+        _retrieved(spark, sf_dir)
+        .select("query_id", "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "query_id",
+            composite_key(F.col("source"), F.col("doc_id").cast("string")).alias("key"),
+        )
+    )
+    return submission_rows(preds)
+
+
 def _q_tpch_q1(spark, sf_dir):
     from legal_text_retrieval_spark.operators.relational import tpch_q1_like
 
@@ -518,6 +637,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_like": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_daily_counts": _q_events_daily,
+        "rerank_ingest": _q_rerank_ingest,
+        "rerank_accuracy": _q_rerank_accuracy,
+        "rerank_eval": _q_rerank_eval,
+        "bm25_chunked_topk": _q_bm25_chunked_topk,
+        "pair_hydration": _q_pair_hydration,
+        "submission_rows": _q_submission_rows,
     }
 
 
@@ -530,7 +655,9 @@ def oracle_sql() -> dict[str, str]:
     from legal_text_retrieval_spark.functions.numeric import round_sql
     from legal_text_retrieval_spark.operators import multimodal as MM
     from legal_text_retrieval_spark.operators import pairs as PR
+    from legal_text_retrieval_spark.operators import chunk as CH
     from legal_text_retrieval_spark.operators import relational as RL
+    from legal_text_retrieval_spark.operators import rerank as RR
     from legal_text_retrieval_spark.operators import similarity as SIM
     from legal_text_retrieval_spark.operators import textstats as TS
     from legal_text_retrieval_spark.operators import stats
@@ -656,5 +783,55 @@ ORDER BY query_id, doc_id, sub_id
                 + _model_topk_sql("b_scored"),
                 "WITH " + TF.cosine_ctes("documents", qsql) + _model_topk_sql("c_scored"),
             ]
+        ),
+        "rerank_ingest": RR.rerank_ingest_sql(_synth_logits_sql()),
+        "rerank_accuracy": RR.rerank_accuracy_sql(
+            RR.rerank_ingest_sql(_synth_logits_sql()), _labels_sql()
+        ),
+        "rerank_eval": EV.micro_eval_sql(
+            "SELECT query_id, doc_id FROM ("
+            + EN.ensemble_sql(
+                [
+                    "SELECT query_id, doc_id, prob AS score, pred FROM ("
+                    + RR.rerank_ingest_sql(_synth_logits_sql())
+                    + ")"
+                ]
+            )
+            + ") WHERE predicted = 1",
+            "SELECT query_id, doc_id FROM qrels",
+            extra_ctes=_retrieved_ctes(),
+        ),
+        "bm25_chunked_topk": CH.bm25_chunked_topk_sql(
+            "documents", qsql, NORTH_STAR_BM25, _K, **_CHUNK
+        ),
+        "pair_hydration": (
+            "WITH "
+            + _retrieved_ctes()
+            + """,
+pairs AS (
+  SELECT query_id, doc_id,
+         CASE WHEN g.gdoc IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS label
+  FROM retrieved r LEFT JOIN (SELECT query_id, doc_id, doc_id AS gdoc FROM qrels) g USING (query_id, doc_id)
+  UNION ALL
+  SELECT query_id, doc_id, 1::BIGINT AS label
+  FROM qrels g2 LEFT JOIN (SELECT query_id, doc_id, 1 AS hit FROM retrieved) r2
+  USING (query_id, doc_id) WHERE r2.hit IS NULL)
+SELECT p.query_id, p.doc_id, p.label, q.query_text AS sentence1, d.text AS sentence2
+FROM pairs p JOIN q ON q.query_id = p.query_id JOIN documents d ON d.doc_id = p.doc_id
+ORDER BY p.query_id, p.doc_id
+"""
+        ),
+        "submission_rows": (
+            "WITH "
+            + _retrieved_ctes()
+            + """,
+preds AS (
+  SELECT r.query_id, d.source || '-->' || d.doc_id::VARCHAR || '-->' AS key
+  FROM retrieved r JOIN documents d USING (doc_id))
+SELECT query_id::VARCHAR AS question_id,
+       string_split(key, '-->')[1] AS law_id,
+       string_split(key, '-->')[2] AS article_id
+FROM preds ORDER BY 1, 2, 3
+"""
         ),
     }

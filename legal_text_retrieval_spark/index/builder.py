@@ -315,6 +315,9 @@ def build_index(
         return assign_term_ids(idf, materialize_path=f"{out_dir}/_termid_ranged")
 
     dictionary = stage("dictionary", paths.dictionary, make_dictionary)
+    # min_idf < 0 (okapi negative eps floor) invalidates WAND's
+    # block-max bounds — recorded so the query path can refuse loudly
+    manifest["min_idf"] = float(dictionary.agg(F.min("idf")).collect()[0][0])
 
     # -- stage: postings (segment-partitioned, packed, block-max metadata)
     def make_postings():

@@ -52,6 +52,14 @@ class LocalIndexServer:
         params = BM25Params(
             k1=p["k1"], b=p["b"], delta=p["delta"], variant=p["variant"], epsilon=p["epsilon"]
         )
+        # same precondition as wand.query_topk: δ-padding appends pads
+        # after matched rows, which requires non-negative idf weights
+        if params.variant == "okapi" and manifest.get("min_idf", 0.0) < 0:
+            raise ValueError(
+                "index has negative idf values (okapi eps floor < 0); "
+                "serving requires non-negative weights — use the "
+                "relational bm25_topk dense fallback for this corpus"
+            )
         srv = cls(params, manifest["avgdl"], manifest["n_docs"])
         window = p["segment_doc_window"]
 

@@ -44,6 +44,10 @@ from ..config import BM25Params
 from . import codec
 from .builder import IndexPaths
 
+# max distinct query term_ids pushed down as an .isin literal list
+# (parquet min/max pruning); larger batches use a broadcast semi-join
+TERM_ID_PUSHDOWN_LIMIT = 4096
+
 _KERNEL_SCHEMA = T.StructType(
     [
         T.StructField("qid", T.StringType()),
@@ -230,8 +234,34 @@ def query_topk(
         qconst = qmap.select("qid", F.lit(0.0).alias("qconst"))
     qconst = qmap.join(qconst, "qid", "left").fillna({"qconst": 0.0}).select("qid", "query_id", "qconst")
 
-    term_ids = [r.term_id for r in qterms.select("term_id").distinct().collect()]
-    post = index.postings().where(F.col("term_id").isin(term_ids))
+    # okapi precondition: WAND's block-max bounds assume non-negative
+    # term weights (w·block_max is only an upper bound for w ≥ 0), and
+    # the δ-padding appends pads after matched rows (matched ≥ 0 = pad
+    # score).  A negative ε floor (mean idf0 < 0: tiny-vocab/repetitive
+    # corpora) breaks both — refuse loudly; the relational bm25_topk
+    # handles that corner with its dense fallback.
+    if params.variant == "okapi" and index.manifest.get("min_idf", 0.0) < 0:
+        raise ValueError(
+            "index has negative idf values (okapi eps floor < 0); the WAND/"
+            "index path requires non-negative weights — use operators.bm25."
+            "bm25_topk (dense fallback) for this corpus"
+        )
+
+    # term_id pruning: an .isin literal list buys parquet row-group
+    # min/max pruning, but collecting an unbounded distinct set to the
+    # driver is a scale hazard — above the guard, switch to a broadcast
+    # LEFT SEMI join (same rows, no driver materialization).
+    id_rows = (
+        qterms.select("term_id").distinct().limit(TERM_ID_PUSHDOWN_LIMIT + 1).collect()
+    )
+    if len(id_rows) <= TERM_ID_PUSHDOWN_LIMIT:
+        post = index.postings().where(
+            F.col("term_id").isin([r.term_id for r in id_rows])
+        )
+    else:
+        post = index.postings().join(
+            F.broadcast(qterms.select("term_id").distinct()), "term_id", "left_semi"
+        )
     joined = post.join(F.broadcast(qterms), "term_id")
 
     kernel = _make_kernel(

@@ -12,6 +12,16 @@ Reference semantics (verified by execution):
   single spaces, empties kept.
 
 Pure native expressions in both engines.
+
+Window-index note (verified by executing the reference):
+``_article_content`` returns ``[full_content] + sub_contents`` where
+``sub_contents[j]`` is the window starting at ``j*step``
+(utils.py:224-230: the loop runs from i_start=0).  ``load_data_kse``
+then keeps ``a_content_s[1:10]`` (utils.py:263) — index 0 of that list
+is the FULL article (stored as the parent, :258), so the slice keeps
+``sub_contents[0:9]`` = windows 0..8, enumerated as sub_id 0..8
+(:263 ``enumerate``).  ``chunk_documents`` therefore emits windows 0-8
+— exactly the reference's sub-article set, not windows 1-9.
 """
 
 from __future__ import annotations
@@ -19,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MAX_CHUNKS = 9  # load_data_kse keeps sub_contents[1:10]
+MAX_CHUNKS = 9  # load_data_kse keeps a_content_s[1:10] = windows 0..8
 
 
 def _nw_expr(size: int, step: int) -> str:
@@ -57,6 +67,108 @@ def chunk_documents(
             F.expr(f"concat_ws(' ', slice(words, sub_id * {step} + 1, {size}))").alias("chunk"),
         )
     )
+
+
+# synthetic doc_id base for chunk rows in the docs ∪ chunks corpus:
+# chunk_id = CHUNK_ID_BASE + parent_doc_id * 16 + sub_id (MAX_CHUNKS=9
+# < 16).  Precondition: parent doc_ids < CHUNK_ID_BASE.
+CHUNK_ID_BASE = 1_000_000_000
+
+
+def chunked_corpus(docs: DataFrame, size: int, stride: int, text_col: str = "content") -> DataFrame:
+    """docs ∪ sub-chunks as ONE retrieval corpus — the reference's
+    actual configuration (/root/reference/src/utils.py:263: articles
+    and their [1:10] sub-windows are indexed together; sub keys carry a
+    ``-subN`` suffix, here an arithmetic id suffix instead)."""
+    chunks = chunk_documents(docs, size, stride, text_col)
+    return docs.select("doc_id", F.col(text_col).alias("content")).unionByName(
+        chunks.select(
+            (F.lit(CHUNK_ID_BASE) + F.col("doc_id") * 16 + F.col("sub_id")).alias("doc_id"),
+            F.col("chunk").alias("content"),
+        )
+    )
+
+
+def chunked_corpus_sql(table: str, size: int, stride: int, text_col: str = "text") -> str:
+    return f"""
+SELECT doc_id, {text_col} AS text FROM {table}
+UNION ALL
+SELECT {CHUNK_ID_BASE} + doc_id * 16 + sub_id AS doc_id, chunk AS text
+FROM ({chunk_documents_sql(table, size, stride, text_col)})
+"""
+
+
+def bm25_chunked_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    params,
+    k: int,
+    size: int = 100,
+    stride: int = 50,
+    text_col: str = "content",
+    score_round: int = 6,
+) -> DataFrame:
+    """(query_id, doc_id, rank) — BM25 top-k over docs ∪ chunks with
+    chunk→parent mapping and keep-first dedup: the reference end-to-end
+    retrieval configuration (P5 + J2 + P9 composed;
+    /root/reference/src/utils.py:263 index build over sub-articles,
+    :169-183 evaluate_idx strips sub ids and dedups)."""
+    from pyspark.sql import Window
+
+    from .bm25 import bm25_topk
+
+    corpus = chunked_corpus(docs, size, stride, text_col)
+    hits = bm25_topk(corpus, queries, params, k, score_round=score_round)
+    parents = hits.select(
+        "query_id",
+        F.expr(
+            f"CASE WHEN doc_id >= {CHUNK_ID_BASE} "
+            f"THEN CAST(floor((doc_id - {CHUNK_ID_BASE}) / 16) AS BIGINT) ELSE doc_id END"
+        ).alias("doc_id"),
+        F.col("rank").alias("pos"),
+    )
+    first = parents.groupBy("query_id", "doc_id").agg(F.min("pos").alias("pos"))
+    w = Window.partitionBy("query_id").orderBy("pos")
+    return (
+        first.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "doc_id", "rank")
+    )
+
+
+def bm25_chunked_topk_sql(
+    table: str,
+    queries_sql: str,
+    params,
+    k: int,
+    size: int = 100,
+    stride: int = 50,
+    text_col: str = "text",
+    score_round: int = 6,
+) -> str:
+    from ..functions.numeric import round_sql
+    from .bm25 import bm25_ctes
+
+    corpus = f"({chunked_corpus_sql(table, size, stride, text_col)})"
+    sc = round_sql("score", score_round)
+    return f"""
+WITH {bm25_ctes(corpus, queries_sql, params, "text")},
+hits AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY {sc} DESC, doc_id DESC) AS rank
+    FROM b_scored) WHERE rank <= {k}),
+parents AS (
+  SELECT query_id,
+         CASE WHEN doc_id >= {CHUNK_ID_BASE}
+              THEN CAST(floor((doc_id - {CHUNK_ID_BASE}) / 16) AS BIGINT) ELSE doc_id END AS doc_id,
+         rank AS pos
+  FROM hits),
+first AS (SELECT query_id, doc_id, min(pos) AS pos FROM parents GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rank FROM (
+  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY pos) AS rank
+  FROM first)
+ORDER BY query_id, rank
+"""
 
 
 def chunk_documents_sql(

@@ -96,23 +96,29 @@ def payload_features(docs: DataFrame, text_col: str = "content") -> DataFrame:
 
 
 def payload_features_sql(table: str, text_col: str = "text") -> str:
-    """DuckDB recomputation of the stub kernel from the source text:
-    byte i goes to bucket i % FEATURE_DIM; bucket sums mod 997; the
-    output checksum is (Σ buckets%997) % 997."""
+    """DuckDB recomputation of the stub kernel from the source text,
+    in BYTE semantics exactly like the Spark/Arrow path (the payload is
+    the UTF-8 encoding of the text, processed as raw bytes): the text
+    is hex-encoded (``hex(encode(t))``, 2 hex chars per byte) and byte
+    i is parsed back from the hex — correct for non-ASCII documents
+    where character ``ord``/``length`` would diverge from bytes.  Byte
+    i goes to bucket i % FEATURE_DIM; bucket sums mod 997; the output
+    checksum is (Σ buckets%997) % 997."""
     d = FEATURE_DIM
+    byte_i = "('0x' || substr(h, 2 * i - 1, 2))::BIGINT"
     bucket = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(generate_series(1, length(t)), i -> "
-        f"CASE WHEN (i - 1) % {d} = (b - 1) THEN ord(substr(t, i, 1))::BIGINT ELSE 0 END)), "
+        f"list_transform(generate_series(1, octet_length(encode(t))), i -> "
+        f"CASE WHEN (i - 1) % {d} = (b - 1) THEN {byte_i} ELSE 0 END)), "
         f"(x, y) -> x + y) % 997"
     )
     return f"""
-WITH base AS (SELECT doc_id, {text_col} AS t FROM {table}),
+WITH base AS (SELECT doc_id, {text_col} AS t, hex(encode({text_col})) AS h FROM {table}),
 buckets AS (
   SELECT doc_id, b, {bucket} AS v
   FROM base, unnest(generate_series(1, {d})) AS s(b)),
 agg AS (SELECT doc_id, sum(v) % 997 AS feature_sum FROM buckets GROUP BY doc_id)
 SELECT doc_id, 'application/octet-stream' AS mime,
-       length(t)::BIGINT AS n_bytes, feature_sum::BIGINT AS feature_sum
+       octet_length(encode(t))::BIGINT AS n_bytes, feature_sum::BIGINT AS feature_sum
 FROM agg JOIN base USING (doc_id) ORDER BY doc_id
 """

@@ -54,9 +54,42 @@ def write_mrpc_csv(pairs_hydrated: DataFrame, path: str) -> None:
     mrpc_rows(pairs_hydrated).write.mode("overwrite").option("header", True).csv(path)
 
 
+def submission_rows(predictions: DataFrame) -> DataFrame:
+    """S10 flat form: (question_id, law_id, article_id) — one row per
+    predicted relevant article, parsed from the composite doc key
+    exactly like ``Article.from_string``
+    (/root/reference/src/infer.py:338-341, utils.py:44-47).  Input:
+    (query_id, key) with key = 'l_id-->a_id-->'."""
+    from ..functions.text import parse_composite_key
+
+    parsed = parse_composite_key(F.col("key"))
+    return predictions.select(
+        F.col("query_id").cast("string").alias("question_id"),
+        parsed.getItem(0).alias("law_id"),
+        parsed.getItem(1).alias("article_id"),
+    )
+
+
+def submission_nested(predictions: DataFrame) -> DataFrame:
+    """S10 nested form: (question_id, relevant_articles:
+    array<struct<law_id, article_id>>) — the exact submission object
+    shape of /root/reference/src/infer.py:336-348, with the article
+    list deterministically sorted."""
+    return (
+        submission_rows(predictions)
+        .groupBy("question_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("law_id", "article_id"))
+            ).alias("relevant_articles")
+        )
+    )
+
+
 def write_submission_json(predictions: DataFrame, path: str) -> None:
-    """S10: one JSON object per row (/root/reference/src/infer.py:336-348)."""
-    predictions.write.mode("overwrite").json(path)
+    """S10: one JSON object per question
+    (/root/reference/src/infer.py:336-348)."""
+    submission_nested(predictions).coalesce(1).write.mode("overwrite").json(path)
 
 
 def write_stopwords_json(stopwords: DataFrame, path: str) -> None:

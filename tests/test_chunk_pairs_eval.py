@@ -18,7 +18,11 @@ def _ref_article_content(full_content: str, size: int, stride: int) -> list[str]
             subs.append(sub)
             if len(words[i_start : i_start + size]) < size:
                 break
-    return subs[:9]  # load_data_kse cap [1:10]
+    # load_data_kse keeps a_content_s[1:10]; a_content_s[0] is the FULL
+    # article (the parent), so the kept sub-articles are sub_contents
+    # [0:9] = windows 0..8 — exactly subs[:9] here (verified by
+    # executing the reference; see operators/chunk.py docstring).
+    return subs[:9]
 
 
 @pytest.mark.parametrize("size,stride", [(10, 5), (30, 15), (7, 3), (5, 4)])
