@@ -1,0 +1,113 @@
+"""Structured-Streaming analytics over the events stream: watermarked
+windowed aggregation (late-data tolerant) and a custom stateful
+operator via ``applyInPandasWithState``.
+
+The batch twin of the windowed count is
+``operators/relational.events_daily_counts`` — a streaming run over the
+same rows produces the same counts once the watermark closes the
+windows (tests/test_streaming_windows.py drives both and compares).
+
+Scale notes:
+- the windowed count is a streaming state-store aggregation keyed by
+  (window, event_type): state is bounded by watermark retention, not
+  stream length; partial aggregation happens map-side per micro-batch;
+- the stateful session operator keeps ONE small state row per user_id
+  group and emits on timeout — the applyInPandasWithState pattern for
+  operators Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over an events directory (new parquet files =
+    new micro-batches)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """(window_start, event_type, n_events, total_value) — sliding-free
+    tumbling-window counts with a watermark: events later than
+    ``watermark`` behind the max seen ts are dropped, everything else
+    (including out-of-order rows inside the horizon) lands in its
+    window.  Works identically on a batch DataFrame (watermark is a
+    no-op there), which is how the test cross-checks the batch twin."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long"),
+            "total_value",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _session_fn(key, pdf_iter, state: GroupState):
+    """Running per-user aggregate: state carries (n, Σvalue) across
+    micro-batches; emits the updated running totals each batch."""
+    import pandas as pd
+
+    n, tot = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        tot += float(pdf["value"].sum())
+    state.update((n, tot))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + value total, maintained across micro-batches.
+    Update-mode output: one row per user per batch with the new
+    totals."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
