@@ -145,23 +145,23 @@ def _bm25_pieces(
     text_col: str = "content",
     query_col: str = "query_text",
 ) -> _BM25Pieces:
+    # ONE tokenize+explode pass: dl and df derive from the cached tf
+    # relation (dl == Σ tf per doc — empty-string tokens are terms too,
+    # the same identity the index builder's termfreq stage uses), so
+    # the corpus is scanned/tokenized once instead of three times.
+    tf = stats.term_frequencies(docs, text_col).cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     n, avgdl = (
-        stats.doc_lengths(docs, text_col)
-        .agg(F.count("*"), F.sum("dl").cast("double") / F.count("*"))
-        .collect()[0]
+        dl.agg(F.count("*"), F.sum("dl").cast("double") / F.count("*")).collect()[0]
     )
-
-    dl = stats.doc_lengths(docs, text_col)
-    tf = stats.term_frequencies(docs, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     if params.variant == "plus":
         # idf = ln((n+1)/df) ≥ ln((n+1)/n) > 0: matched always beats qconst
-        idf = stats.document_frequencies(docs, text_col).withColumn(
-            "idf", F.expr(f"ln({_fmt(n + 1)} / df)")
-        )
+        idf = dfreq.withColumn("idf", F.expr(f"ln({_fmt(n + 1)} / df)"))
         pad_safe = True
     else:
-        raw = stats.document_frequencies(docs, text_col).withColumn(
+        raw = dfreq.withColumn(
             "idf0",
             F.expr(
                 f"ln(CAST({n} - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) "

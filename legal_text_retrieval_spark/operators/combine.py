@@ -56,6 +56,11 @@ def combine_weighted_topk(
             j = j.withColumn("score", F.expr(round_sql("score", score_round)))
         return topk(j, k)
 
+    # the matched relation feeds BOTH the bmax derivation and the
+    # candidate join — Catalyst does not share subplans, so cache it
+    # (MEMORY_AND_DISK default; size = matched pairs, the same relation
+    # the old code computed twice)
+    p.matched = p.matched.cache()
     qmax = p.matched.groupBy("query_id").agg(F.max("ms").alias("mms"))
     bmax_1 = (
         p.qconst.join(qmax, "query_id", "left")

@@ -111,9 +111,10 @@ def tfidf_cosine_matched(
     rank-exact (see tfidf_cosine_topk).
 
     One ``_analyzed(docs)`` pass feeds df/idf, doc weights and the dot
-    products (the fit and the transform share the scan)."""
+    products (the fit and the transform share the scan; cached because
+    Catalyst does not share the subtree across its three consumers)."""
     n = docs.count()
-    tfd = _analyzed(docs, text_col, "doc_id")
+    tfd = _analyzed(docs, text_col, "doc_id").cache()
     idf = (
         tfd.groupBy("term")
         .agg(F.count("*").alias("df"))
