@@ -101,41 +101,56 @@ class FulltextIndex:
         return self._docstats_cache
 
 
-def _make_kernel(
+def _make_group_fn(
     params: BM25Params, avgdl: float, window: int, k: int, prune: bool, block_size: int = 128
 ):
+    """The per-(qid, segment) WAND evaluation on raw arrays — shared by
+    the applyInPandas kernel (kept for the property tests) and the
+    streaming mapInPandas kernel, so both are the same math bit for
+    bit.  ``rows`` fields must already be in ascending term_id order
+    (fold order == lexical term order)."""
     p = params
     bs = block_size
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = pdf["qid"].iloc[0]
-        seg_id = int(pdf["seg_id"].iloc[0])
-        base = seg_id * window
-        pdf = pdf.sort_values("term_id")  # fold order == lexical term order
+    def group_topk(seg_id, qtf_arr, idf_arr, segmax_arr, blocks, bufs):
+        """blocks[i] = (block_first, block_last, block_max) lists;
+        bufs[i] = (doc_ids_enc, tfs_enc, dls_enc).  Returns
+        (doc_ids, scores, n_cand) of the segment-local top-k, or None
+        when no candidate survives.
 
-        cand_ids = np.zeros(0, dtype=np.int64)
-        cand_scores = np.zeros(0, dtype=np.float64)
-        weights = (pdf["qtf"].to_numpy(np.float64) * pdf["idf"].to_numpy(np.float64))
-        seg_ubs = weights * pdf["seg_max_tfpart"].to_numpy(np.float64)
+        Dense window-local accumulator (the serving-mode scatter-add
+        trick, index/serving.py): scores/seen are arrays indexed by
+        doc_id − base, so a term merges in O(postings) instead of the
+        previous O(candidates·log) np.unique merge.  Bit-identity is
+        preserved: each (doc, term) contributes exactly one float add,
+        applied in ascending term order — the same adds in the same
+        order as the sorted-merge version (tests/test_wand_kernel_
+        property.py, test_index_engine.py)."""
+        base = int(seg_id) * window
+        scores = np.zeros(window, dtype=np.float64)
+        seen = np.zeros(window, dtype=bool)
+        n_seen = 0
+        weights = qtf_arr * idf_arr
+        seg_ubs = weights * segmax_arr
         rem_ub = float(seg_ubs.sum())
 
-        for i, row in enumerate(pdf.itertuples(index=False)):
+        for i in range(len(weights)):
             w = weights[i]
             rem_after = rem_ub - seg_ubs[i]
             rem_ub = rem_after
             theta = (
-                float(np.partition(cand_scores, len(cand_scores) - k)[len(cand_scores) - k])
-                if prune and len(cand_scores) >= k
+                float(np.partition(scores[seen], n_seen - k)[n_seen - k])
+                if prune and n_seen >= k
                 else -np.inf
             )
-            bf = np.asarray(row.block_first, dtype=np.int64)
-            blast = np.asarray(row.block_last, dtype=np.int64)
-            bmax = np.asarray(row.block_max_tfpart, dtype=np.float64)
+            bf = np.asarray(blocks[i][0], dtype=np.int64)
+            blast = np.asarray(blocks[i][1], dtype=np.int64)
+            bmax = np.asarray(blocks[i][2], dtype=np.float64)
             # decode-block decision (vectorized over blocks)
-            if prune and theta > -np.inf and len(cand_ids):
-                lo = np.searchsorted(cand_ids, bf, side="left")
-                hi = np.searchsorted(cand_ids, blast, side="right")
-                intersects = hi > lo
+            if prune and theta > -np.inf and n_seen:
+                # any seen doc inside [bf, bl]?  prefix-sum range test
+                cs = np.concatenate([[0], np.cumsum(seen)])
+                intersects = cs[blast - base + 1] - cs[bf - base] > 0
                 keep = intersects | (w * bmax + rem_after >= theta)
             elif prune and theta > -np.inf:
                 keep = w * bmax + rem_after >= theta
@@ -143,9 +158,9 @@ def _make_kernel(
                 keep = np.ones(len(bf), dtype=bool)
             if not keep.any():
                 continue
-            ids_all = codec.decode_docids(row.doc_ids_enc, base)
-            tfs_all = codec.decode_varint(row.tfs_enc).astype(np.int64)
-            dls_all = codec.decode_varint(row.dls_enc).astype(np.int64)
+            ids_all = codec.decode_docids(bufs[i][0], base)
+            tfs_all = codec.decode_varint(bufs[i][1]).astype(np.int64)
+            dls_all = codec.decode_varint(bufs[i][2]).astype(np.int64)
             if keep.all():
                 ids, tfs, dls = ids_all, tfs_all, dls_all
             else:
@@ -155,31 +170,114 @@ def _make_kernel(
                 sel = np.repeat(keep, bs)[: len(ids_all)]
                 ids, tfs, dls = ids_all[sel], tfs_all[sel], dls_all[sel]
             contrib = w * codec.tf_part(tfs, dls, p.k1, p.b, avgdl, p.variant)
-            # merge into candidates (keeps docID-sorted order)
-            merged = np.concatenate([cand_ids, ids])
-            scores = np.concatenate([cand_scores, contrib])
-            uids, inv = np.unique(merged, return_inverse=True)
-            # bincount adds in array order: existing candidates first,
-            # then this term — i.e. ascending term order per doc.
-            cand_scores = np.bincount(inv, weights=scores, minlength=len(uids))
-            cand_ids = uids
+            # dense scatter-add: one add per (doc, term), term order
+            slots = ids - base
+            scores[slots] += contrib
+            seen[slots] = True
+            n_seen = int(seen.sum())
 
-        n_cand = len(cand_ids)
-        if n_cand == 0:
+        if n_seen == 0:
+            return None
+        cand_ids = np.flatnonzero(seen) + base
+        cand_scores = scores[seen]
+        k_loc = min(k, n_seen)
+        order = np.lexsort((cand_ids, cand_scores))  # asc score, asc doc_id
+        sel = order[-k_loc:][::-1]  # desc score, desc doc_id among ties
+        return cand_ids[sel], cand_scores[sel], n_seen
+
+    return group_topk
+
+
+def _group_arrays(pdf: pd.DataFrame):
+    """Column extraction shared by both kernels (pdf already in
+    ascending term_id order)."""
+    qtf = pdf["qtf"].to_numpy(np.float64)
+    idf = pdf["idf"].to_numpy(np.float64)
+    segmax = pdf["seg_max_tfpart"].to_numpy(np.float64)
+    blocks = list(zip(pdf["block_first"], pdf["block_last"], pdf["block_max_tfpart"]))
+    bufs = list(zip(pdf["doc_ids_enc"], pdf["tfs_enc"], pdf["dls_enc"]))
+    return qtf, idf, segmax, blocks, bufs
+
+
+def _make_kernel(
+    params: BM25Params, avgdl: float, window: int, k: int, prune: bool, block_size: int = 128
+):
+    """applyInPandas form (one call per (qid, seg_id) group)."""
+    group_topk = _make_group_fn(params, avgdl, window, k, prune, block_size)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["qid"].iloc[0]
+        seg_id = int(pdf["seg_id"].iloc[0])
+        pdf = pdf.sort_values("term_id")  # fold order == lexical term order
+        res = group_topk(seg_id, *_group_arrays(pdf))
+        if res is None:
             return pd.DataFrame(
                 {"qid": pd.Series([], dtype=str), "doc_id": [], "ms": [], "n_cand": []}
             ).astype({"doc_id": "int64", "ms": "float64", "n_cand": "int64"})
-        k_loc = min(k, n_cand)
-        order = np.lexsort((cand_ids, cand_scores))  # asc score, asc doc_id
-        sel = order[-k_loc:][::-1]  # desc score, desc doc_id among ties
+        ids, scores, n_cand = res
         return pd.DataFrame(
-            {
-                "qid": qid,
-                "doc_id": cand_ids[sel],
-                "ms": cand_scores[sel],
-                "n_cand": np.int64(n_cand),
-            }
+            {"qid": qid, "doc_id": ids, "ms": scores, "n_cand": np.int64(n_cand)}
         )
+
+    return kernel
+
+
+def _make_stream_kernel(
+    params: BM25Params, avgdl: float, window: int, k: int, prune: bool, block_size: int = 128
+):
+    """mapInPandas form: the joined relation arrives hash-partitioned
+    by (qid, seg_id) and sorted by (qid, seg_id, term_id), so groups
+    are contiguous runs; a carry buffer stitches runs spanning Arrow
+    batch boundaries.  Identical math to the applyInPandas kernel (the
+    shared _make_group_fn), but without Spark's per-group overhead —
+    the same streaming-runs trick the posting pack kernel uses
+    (builder._make_pack_fn)."""
+    group_topk = _make_group_fn(params, avgdl, window, k, prune, block_size)
+
+    def kernel(batches):
+        carry: pd.DataFrame | None = None
+        out: list[pd.DataFrame] = []
+
+        def run_group(g: pd.DataFrame) -> None:
+            res = group_topk(int(g["seg_id"].iloc[0]), *_group_arrays(g))
+            if res is None:
+                return
+            ids, scores, n_cand = res
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": g["qid"].iloc[0],
+                        "doc_id": ids,
+                        "ms": scores,
+                        "n_cand": np.int64(n_cand),
+                    }
+                )
+            )
+
+        def emit():
+            nonlocal out
+            if out:
+                yield pd.concat(out, ignore_index=True)
+                out = []
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            q = pdf["qid"].to_numpy(object)
+            s = pdf["seg_id"].to_numpy(np.int64)
+            change = np.flatnonzero((q[1:] != q[:-1]) | (s[1:] != s[:-1])) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(pdf)]])
+            # last run may continue in the next batch — carry it
+            for gi in range(len(starts) - 1):
+                run_group(pdf.iloc[starts[gi] : ends[gi]])
+            if len(starts):
+                carry = pdf.iloc[starts[-1] :]
+            yield from emit()
+        if carry is not None and len(carry):
+            run_group(carry)
+        yield from emit()
 
     return kernel
 
@@ -264,7 +362,7 @@ def query_topk(
         )
     joined = post.join(F.broadcast(qterms), "term_id")
 
-    kernel = _make_kernel(
+    kernel = _make_stream_kernel(
         params,
         avgdl,
         window,
@@ -272,10 +370,19 @@ def query_topk(
         prune=(mode == "wand"),
         block_size=index.manifest["params"].get("block_size", 128),
     )
-    # local top-k rows are tiny (≤ queries × segments × k) — cache so the
-    # merge window, the deficit count and the padding anti-join reuse
-    # one kernel materialization.
-    local = joined.groupBy("qid", "seg_id").applyInPandas(kernel, _KERNEL_SCHEMA).cache()
+    # hash-partition by group key + sort within partitions: groups are
+    # contiguous term_id-sorted runs for the streaming kernel — ONE
+    # shuffle, no per-group pandas overhead (same layout as the pack
+    # stage).  local top-k rows are tiny (≤ queries × segments × k) —
+    # cache so the merge window, the deficit count and the padding
+    # anti-join reuse one kernel materialization.
+    spark_parallelism = max(1, spark.sparkContext.defaultParallelism)
+    local = (
+        joined.repartition(spark_parallelism, "qid", "seg_id")
+        .sortWithinPartitions("qid", "seg_id", "term_id")
+        .mapInPandas(kernel, _KERNEL_SCHEMA)
+        .cache()
+    )
 
     w = Window.partitionBy("qid").orderBy(F.desc("ms"), F.desc("doc_id"))
     matched = (
