@@ -574,6 +574,27 @@ def _q_submission_rows(spark, sf_dir):
     return submission_rows(preds)
 
 
+def _q_mrpc_rows(spark, sf_dir):
+    """S6+P8+J3 composed: hydrated training pairs in MRPC format with
+    the newline scrub."""
+    from legal_text_retrieval_spark.operators.pairs import generate_pairs, hydrate_pairs
+    from legal_text_retrieval_spark.sources import corpus as C
+    from legal_text_retrieval_spark.sources.sinks import mrpc_rows
+
+    docs = _docs(spark, sf_dir)
+    pairs = generate_pairs(_retrieved(spark, sf_dir), C.derived_qrels(docs))
+    return mrpc_rows(hydrate_pairs(pairs, docs, C.derived_queries(docs)))
+
+
+def _q_content_sha(spark, sf_dir):
+    """P10: per-row sha256 integrity column."""
+    from pyspark.sql import functions as F
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("content"), 256).alias("content_sha")
+    )
+
+
 def _q_tpch_q1(spark, sf_dir):
     from legal_text_retrieval_spark.operators.relational import tpch_q1_like
 
@@ -643,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_chunked_topk": _q_bm25_chunked_topk,
         "pair_hydration": _q_pair_hydration,
         "submission_rows": _q_submission_rows,
+        "mrpc_rows": _q_mrpc_rows,
+        "content_sha": _q_content_sha,
     }
 
 
@@ -820,6 +843,28 @@ SELECT p.query_id, p.doc_id, p.label, q.query_text AS sentence1, d.text AS sente
 FROM pairs p JOIN q ON q.query_id = p.query_id JOIN documents d ON d.doc_id = p.doc_id
 ORDER BY p.query_id, p.doc_id
 """
+        ),
+        "mrpc_rows": (
+            "WITH "
+            + _retrieved_ctes()
+            + """,
+pairs AS (
+  SELECT query_id, doc_id,
+         CASE WHEN g.gdoc IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS label
+  FROM retrieved r LEFT JOIN (SELECT query_id, doc_id, doc_id AS gdoc FROM qrels) g USING (query_id, doc_id)
+  UNION ALL
+  SELECT query_id, doc_id, 1::BIGINT AS label
+  FROM qrels g2 LEFT JOIN (SELECT query_id, doc_id, 1 AS hit FROM retrieved) r2
+  USING (query_id, doc_id) WHERE r2.hit IS NULL)
+SELECT p.label, p.query_id::VARCHAR AS id1, p.doc_id::VARCHAR AS id2,
+       replace(q.query_text, chr(10), ' ') AS sentence1,
+       replace(d.text, chr(10), ' ') AS sentence2
+FROM pairs p JOIN q ON q.query_id = p.query_id JOIN documents d ON d.doc_id = p.doc_id
+ORDER BY p.query_id, p.doc_id
+"""
+        ),
+        "content_sha": (
+            "SELECT doc_id, sha256(text) AS content_sha FROM documents ORDER BY doc_id"
         ),
         "submission_rows": (
             "WITH "
