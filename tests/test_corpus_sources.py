@@ -26,6 +26,31 @@ def test_load_corpus_assigns_dense_docids(spark, tmp_path):
     assert row["content_sha"] == hashlib.sha256(row["content"].encode()).hexdigest()
 
 
+def test_iceberg_shape_end_to_end(spark, tmp_path):
+    """input_hint path: (repo, path, commit, lang, content) parquet →
+    load_corpus (dense doc_id + sha) → index build → WAND query, with
+    the provenance columns preserved in the index's docs table and the
+    integrity check green."""
+    from legal_text_retrieval_spark.config import BM25Params, IndexParams
+    from legal_text_retrieval_spark.fixtures import make_corpus
+    from legal_text_retrieval_spark.index import builder, wand
+    from legal_text_retrieval_spark.sources.corpus import derived_queries, load_corpus
+
+    src = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(make_corpus(120)).write.mode("overwrite").parquet(src)
+    docs = load_corpus(spark, src)
+
+    params = IndexParams(block_size=16, segment_doc_window=64, bm25=BM25Params(k1=1.2))
+    paths = builder.build_index(spark, docs, str(tmp_path / "idx"), params)
+    stored = spark.read.parquet(paths.docs)
+    assert {"repo", "path", "commit", "doc_id", "content_sha"} <= set(stored.columns)
+    assert builder.verify_integrity(spark, paths, docs) == 0
+
+    index = wand.FulltextIndex.load(spark, paths.root)
+    out = wand.query_topk(index, derived_queries(docs), k=5, score_round=6).toPandas()
+    assert len(out) > 0 and (out.groupby("query_id")["rank"].min() == 1).all()
+
+
 def test_load_corpus_distributed_docids_match_window(spark, tmp_path):
     """The range-partition + offset assignment (the 10^12-file path)
     must produce bit-for-bit the same doc_ids as the global window, and
