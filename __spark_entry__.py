@@ -607,6 +607,12 @@ def _q_revenue_by_nation(spark, sf_dir):
     return revenue_by_nation(spark, sf_dir)
 
 
+def _q_brand_supplier_revenue(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.relational import brand_supplier_revenue
+
+    return brand_supplier_revenue(spark, sf_dir)
+
+
 def _q_events_daily(spark, sf_dir):
     from legal_text_retrieval_spark.operators.relational import events_daily_counts
 
@@ -664,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_chunked_topk": _q_bm25_chunked_topk,
         "pair_hydration": _q_pair_hydration,
         "submission_rows": _q_submission_rows,
+        "brand_supplier_revenue": _q_brand_supplier_revenue,
         "mrpc_rows": _q_mrpc_rows,
         "content_sha": _q_content_sha,
     }
@@ -866,6 +873,7 @@ ORDER BY p.query_id, p.doc_id
         "content_sha": (
             "SELECT doc_id, sha256(text) AS content_sha FROM documents ORDER BY doc_id"
         ),
+        "brand_supplier_revenue": RL.brand_supplier_revenue_sql(),
         "submission_rows": (
             "WITH "
             + _retrieved_ctes()

@@ -81,6 +81,41 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14/Q2-flavored: revenue + avg supplier balance per part brand —
+    exercises the part and supplier dims (broadcast) against the
+    lineitem fact, with a selective pushed-down filter on p_size."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_size") <= 25)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.expr(_DSUM.format(x="l_extendedprice * (1 - l_discount)")).alias("revenue"),
+            F.expr(_DSUM.format(x="s_acctbal")).alias("sum_acctbal"),
+            F.count("*").alias("n_items"),
+        )
+        .withColumn("avg_acctbal", F.expr(round_sql("sum_acctbal / n_items", 6)))
+        .select("p_brand", "revenue", "n_items", "avg_acctbal")
+    )
+
+
+def brand_supplier_revenue_sql() -> str:
+    return f"""
+SELECT p_brand,
+       {_DSUM.format(x="l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*)::BIGINT AS n_items,
+       {round_sql(_DSUM.format(x="s_acctbal") + " / count(*)", 6)} AS avg_acctbal
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size <= 25
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def events_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling daily window over the events table (batch form of the
     streaming windowed count): (day, event_type, n, sum_value)."""
