@@ -300,6 +300,24 @@ def _q_ann_recall(spark, sf_dir):
     return ann_recall(_emb(spark, sf_dir))
 
 
+def _q_ivf_assignments(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import ivf_assignments
+
+    return ivf_assignments(_emb(spark, sf_dir))
+
+
+def _q_ivf_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir))
+
+
+def _q_ivf_recall(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import ivf_recall
+
+    return ivf_recall(_emb(spark, sf_dir))
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from legal_text_retrieval_spark.operators.similarity import near_dup_pairs
 
@@ -647,6 +665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_recall": _q_ann_recall,
+        "ivf_assignments": _q_ivf_assignments,
+        "ivf_topk": _q_ivf_topk,
+        "ivf_recall": _q_ivf_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "token_counts": _q_token_counts,
         "language_id": _q_language_id,
@@ -752,6 +773,9 @@ USING (query_id, doc_id) WHERE r2.hit IS NULL
         "embedding_cosine_topk": SIM.cosine_topk_sql("embeddings"),
         "ann_lsh_topk": SIM.ann_lsh_topk_sql("embeddings"),
         "ann_recall": SIM.ann_recall_sql("embeddings"),
+        "ivf_assignments": SIM.ivf_assignments_sql("embeddings"),
+        "ivf_topk": SIM.ivf_topk_sql("embeddings"),
+        "ivf_recall": SIM.ivf_recall_sql("embeddings"),
         "embedding_near_dup": SIM.near_dup_pairs_sql("embeddings"),
         "token_counts": TS.token_counts_sql("documents"),
         "language_id": TS.language_id_sql("documents"),

@@ -241,6 +241,188 @@ ORDER BY query_vec_id
 """
 
 
+# ------------------------------------------------------- IVF scale path
+
+# every CENTROID_STRIDE-th vector (offset 1, disjoint from the
+# QUERY_STRIDE=50 query set) is a coarse centroid — a deterministic,
+# training-free quantizer so both engines derive identical lists.  At
+# cluster scale you would k-means these; the PLAN (assign → invert →
+# probe) is identical.  nprobe=4 of ~14 lists ≈ 3.5× search reduction
+# at recall@5 ≈ 0.5 on the (clusterless) random test vectors — the
+# ivf_recall gauge exists precisely to tune this on real embeddings.
+CENTROID_STRIDE = 37
+_NPROBE = 4
+
+
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    return embeddings.filter(
+        (F.col("vec_id") % CENTROID_STRIDE == 1)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+
+
+def _best_centroids(
+    vectors: DataFrame, centroid_src: DataFrame, nprobe: int, id_col: str, emb_col: str
+) -> DataFrame:
+    """(id, centroid_id, probe_rank ≤ nprobe) — cosine-nearest coarse
+    centroids; ties break centroid_id ASC.  C is a small constant, so
+    the broadcast cross join is O(N·C) — linear in N."""
+    cents = ivf_centroids(centroid_src)
+    cos = round_sql(
+        _DOT.format(a=emb_col, b="ce")
+        + " / (" + _NORM.format(a=emb_col) + " * " + _NORM.format(a="ce") + ")",
+        9,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        vectors.select(F.col(id_col), F.col(emb_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.expr(cos))
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(id_col, "centroid_id", "probe_rank")
+    )
+
+
+def _best_centroids_sql(
+    table: str, nprobe: int, id_col: str, emb_col: str, vec_filter: str = ""
+) -> str:
+    cos = round_sql(
+        _dot_sql(f"v.{emb_col}", "c.ce")
+        + f" / ({_norm_sql(f'v.{emb_col}')} * {_norm_sql('c.ce')})",
+        9,
+    )
+    return f"""
+SELECT {id_col}, centroid_id, probe_rank FROM (
+  SELECT v.{id_col}, c.centroid_id, {cos} AS ccos,
+         row_number() OVER (PARTITION BY v.{id_col} ORDER BY {cos} DESC, c.centroid_id ASC) AS probe_rank
+  FROM (SELECT vec_id AS {id_col}, embedding AS {emb_col} FROM {table} {vec_filter}) v
+  CROSS JOIN (SELECT vec_id AS centroid_id, embedding AS ce FROM {table}
+              WHERE vec_id % {CENTROID_STRIDE} = 1) c)
+WHERE probe_rank <= {nprobe}
+"""
+
+
+def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id) — each vector's inverted-list bucket
+    (nearest centroid): the IVF index relation."""
+    return _best_centroids(embeddings, embeddings, 1, "vec_id", "embedding").select(
+        "vec_id", "centroid_id"
+    )
+
+
+def ivf_assignments_sql(table: str) -> str:
+    return (
+        f"SELECT vec_id, centroid_id FROM ({_best_centroids_sql(table, 1, 'vec_id', 'embedding')}) "
+        f"ORDER BY vec_id"
+    )
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 5, nprobe: int = _NPROBE) -> DataFrame:
+    """Approximate cosine top-k, IVF-style: queries probe their nprobe
+    nearest centroids; candidates are the vectors ASSIGNED to those
+    lists; exact cosine + window inside the probed lists.  Search cost
+    ≈ N·nprobe/C instead of N; recall tunable via nprobe
+    (ivf_recall)."""
+    assign = ivf_assignments(embeddings)
+    q = embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qe")
+    )
+    qv = embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    probes = (
+        _best_centroids(qv, embeddings, nprobe, "vec_id", "embedding")
+        .withColumnRenamed("vec_id", "query_vec_id")
+        .select("query_vec_id", "centroid_id")
+    )
+    cand = probes.join(assign, "centroid_id").select("query_vec_id", "vec_id").distinct()
+    pairs = (
+        cand.join(embeddings, "vec_id")
+        .join(F.broadcast(q), "query_vec_id")
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .withColumn(
+            "cos",
+            F.expr(
+                round_sql(
+                    _DOT.format(a="qe", b="embedding")
+                    + " / (" + _NORM.format(a="qe") + " * " + _NORM.format(a="embedding") + ")",
+                    6,
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"), F.desc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id", "rank", "cos")
+    )
+
+
+def ivf_topk_sql(table: str, k: int = 5, nprobe: int = _NPROBE) -> str:
+    cos = round_sql(
+        _dot_sql("q.qe", "e.embedding") + f" / ({_norm_sql('q.qe')} * {_norm_sql('e.embedding')})",
+        6,
+    )
+    return f"""
+WITH assign AS (SELECT vec_id, centroid_id FROM ({_best_centroids_sql(table, 1, "vec_id", "embedding")})),
+q AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM {table}
+      WHERE vec_id % {QUERY_STRIDE} = 0),
+probes AS (
+  SELECT vec_id AS query_vec_id, centroid_id
+  FROM ({_best_centroids_sql(table, nprobe, "vec_id", "embedding", f"WHERE vec_id % {QUERY_STRIDE} = 0")})),
+cand AS (SELECT DISTINCT query_vec_id, a.vec_id
+         FROM probes JOIN assign a USING (centroid_id)),
+scored AS (
+  SELECT c.query_vec_id, e.vec_id, {cos} AS cos
+  FROM cand c JOIN {table} e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_vec_id = c.query_vec_id
+  WHERE e.vec_id <> c.query_vec_id)
+SELECT query_vec_id, vec_id, rank, cos FROM (
+  SELECT query_vec_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id DESC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+ORDER BY query_vec_id, rank
+"""
+
+
+def ivf_recall(embeddings: DataFrame, k: int = 5, nprobe: int = _NPROBE) -> DataFrame:
+    """(query_vec_id, n_exact, n_hit, recall) — recall@k of IVF-probed
+    search vs the exact brute force: the nprobe tuning gauge."""
+    exact = cosine_topk(embeddings, k).select("query_vec_id", "vec_id")
+    approx = ivf_topk(embeddings, k, nprobe).select("query_vec_id", "vec_id")
+    ne = exact.groupBy("query_vec_id").agg(F.count("*").alias("n_exact"))
+    nh = (
+        exact.join(approx, ["query_vec_id", "vec_id"])
+        .groupBy("query_vec_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        ne.join(nh, "query_vec_id", "left")
+        .fillna({"n_hit": 0})
+        .select(
+            "query_vec_id",
+            F.col("n_exact").cast("long"),
+            F.col("n_hit").cast("long"),
+            F.expr(round_sql("CAST(n_hit AS DOUBLE) / n_exact", 9)).alias("recall"),
+        )
+    )
+
+
+def ivf_recall_sql(table: str, k: int = 5, nprobe: int = _NPROBE) -> str:
+    return f"""
+WITH exact AS (SELECT query_vec_id, vec_id FROM ({cosine_topk_sql(table, k)})),
+approx AS (SELECT query_vec_id, vec_id FROM ({ivf_topk_sql(table, k, nprobe)})),
+ne AS (SELECT query_vec_id, count(*) AS n_exact FROM exact GROUP BY query_vec_id),
+nh AS (SELECT query_vec_id, count(*) AS n_hit
+       FROM exact JOIN approx USING (query_vec_id, vec_id) GROUP BY query_vec_id)
+SELECT query_vec_id, n_exact::BIGINT AS n_exact,
+       COALESCE(n_hit, 0)::BIGINT AS n_hit,
+       {round_sql("CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact", 9)} AS recall
+FROM ne LEFT JOIN nh USING (query_vec_id)
+ORDER BY query_vec_id
+"""
+
+
 def near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.35, nplanes: int = _NPLANES
 ) -> DataFrame:

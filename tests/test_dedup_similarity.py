@@ -182,6 +182,43 @@ def test_ann_lsh_is_bucketed_subset(spark):
     assert (merged["cos_a"] == merged["cos_e"]).all()
 
 
+def test_ivf_assign_and_probe(spark):
+    """IVF: every vector lands in exactly one list; a centroid's own
+    nearest centroid is itself; probed search returns exact cos values
+    (it IS exact within the probed lists) with recall rising in
+    nprobe."""
+    from legal_text_retrieval_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        cosine_topk,
+        ivf_assignments,
+        ivf_recall,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(250, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(250), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+
+    assign = ivf_assignments(df).toPandas()
+    assert len(assign) == 250 and assign["vec_id"].is_unique
+    cents = set(range(1, 250, CENTROID_STRIDE))
+    assert set(assign["centroid_id"]) <= cents
+    self_rows = assign[assign.vec_id.isin(cents)]
+    assert (self_rows["vec_id"] == self_rows["centroid_id"]).all()
+
+    exact = cosine_topk(df, k=250).toPandas()
+    approx = ivf_topk(df, k=5).toPandas()
+    merged = approx.merge(exact, on=["query_vec_id", "vec_id"], suffixes=("_a", "_e"))
+    assert len(merged) == len(approx)
+    assert (merged["cos_a"] == merged["cos_e"]).all()
+
+    r2 = ivf_recall(df, k=5, nprobe=2).toPandas()["recall"].mean()
+    r6 = ivf_recall(df, k=5, nprobe=6).toPandas()["recall"].mean()
+    assert r6 >= r2
+    assert r6 > 0
+
+
 def test_near_dup_pairs_bucketed_subset_and_recall(spark):
     """Bucketed near-dup ⊆ exact all-pairs with identical cos values;
     recall on true near-dups (cos ≥ 0.9 → same LSH bucket with high
