@@ -126,6 +126,23 @@ def _q_bm25plus_topk_indexed(spark, sf_dir):
     return query_topk(index, C.derived_queries(_docs(spark, sf_dir)), k=_K, score_round=6)
 
 
+def _q_bm25okapi_topk_indexed(spark, sf_dir):
+    """Okapi variant served from its own packed index (negative-eps
+    guard permitting) — exercises the okapi WAND kernel in the gate."""
+    from legal_text_retrieval_spark.config import IndexParams
+    from legal_text_retrieval_spark.index.builder import build_index
+    from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    root = f"/tmp/lts_index_v2_okapi/{Path(sf_dir.rstrip('/')).name}"
+    docs = _docs(spark, sf_dir)
+    paths = build_index(
+        spark, docs, root, IndexParams(segment_doc_window=1 << 14, bm25=_OKAPI)
+    )
+    index = FulltextIndex.load(spark, paths.root)
+    return query_topk(index, C.derived_queries(docs), k=_K, score_round=6)
+
+
 def _q_tfidf_weights(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -648,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25plus_topk": _q_bm25plus_topk,
         "bm25okapi_topk": _q_bm25okapi_topk,
         "bm25plus_topk_indexed": _q_bm25plus_topk_indexed,
+        "bm25okapi_topk_indexed": _q_bm25okapi_topk_indexed,
         "tfidf_weights": _q_tfidf_weights,
         "tfidf_cosine_topk": _q_tfidf_cosine_topk,
         "combine_weighted_topk": _q_combine_weighted_topk,
@@ -728,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25plus_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
         "bm25okapi_topk": B.bm25_topk_sql("documents", qsql, _OKAPI, _K),
         "bm25plus_topk_indexed": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
+        "bm25okapi_topk_indexed": B.bm25_topk_sql("documents", qsql, _OKAPI, _K),
         "tfidf_weights": TF.tfidf_weights_sql("documents"),
         "tfidf_cosine_topk": TF.tfidf_cosine_topk_sql("documents", qsql, _K),
         "combine_weighted_topk": CB.combine_weighted_topk_sql(

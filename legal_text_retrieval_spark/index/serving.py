@@ -52,14 +52,6 @@ class LocalIndexServer:
         params = BM25Params(
             k1=p["k1"], b=p["b"], delta=p["delta"], variant=p["variant"], epsilon=p["epsilon"]
         )
-        # same precondition as wand.query_topk: δ-padding appends pads
-        # after matched rows, which requires non-negative idf weights
-        if params.variant == "okapi" and manifest.get("min_idf", 0.0) < 0:
-            raise ValueError(
-                "index has negative idf values (okapi eps floor < 0); "
-                "serving requires non-negative weights — use the "
-                "relational bm25_topk dense fallback for this corpus"
-            )
         srv = cls(params, manifest["avgdl"], manifest["n_docs"])
         window = p["segment_doc_window"]
 
@@ -129,18 +121,38 @@ class LocalIndexServer:
             score[tp.doc_ids] += w * tp.contribs  # doc_ids unique per term
             matched[tp.doc_ids] = True
         cand_ids = np.flatnonzero(matched)
-        cand_scores = score[cand_ids]
+        cand_ms = score[cand_ids]
 
         n = len(cand_ids)
-        k_loc = min(k, n)
+        # δ-padding: unmatched docs score exactly qconst, and only the
+        # k highest unmatched ids can ever place.  Pads join the
+        # candidate pool whenever they could outrank a matched row —
+        # deficit (n < k) or negative weights (okapi ε < 0 → matched
+        # can score below qconst); the union then ranks on the FULL
+        # score (qconst + ms vs qconst), exactly like the distributed
+        # pad-query window.  The no-pad fast path ranks on raw ms (the
+        # distributed matched window) — adding the constant only after
+        # selection, so no tie can be manufactured by the addition.
+        need_pads = n < k or (n and (qconst + cand_ms).min() < qconst)
+        if not need_pads:
+            order = np.lexsort((cand_ids, cand_ms))
+            sel = order[-min(k, n):][::-1]
+            return [(int(cand_ids[i]), qconst + float(cand_ms[i])) for i in sel]
+
+        cand_scores = qconst + cand_ms
+        matched_set = set(cand_ids.tolist())
+        pad_ids = []
+        for d in self.all_doc_ids[::-1]:
+            if len(pad_ids) == k:
+                break
+            if int(d) not in matched_set:
+                pad_ids.append(int(d))
+        if pad_ids:
+            cand_ids = np.concatenate([cand_ids, np.array(pad_ids, dtype=np.int64)])
+            cand_scores = np.concatenate(
+                [cand_scores, np.full(len(pad_ids), qconst, dtype=np.float64)]
+            )
+        k_loc = min(k, len(cand_ids))
         order = np.lexsort((cand_ids, cand_scores))
         sel = order[-k_loc:][::-1]
-        out = [(int(cand_ids[i]), qconst + float(cand_scores[i])) for i in sel]
-        if n < k:  # δ-padding: highest unmatched doc_ids
-            matched = set(cand_ids.tolist())
-            for d in self.all_doc_ids[::-1]:
-                if len(out) == k:
-                    break
-                if int(d) not in matched:
-                    out.append((int(d), qconst))
-        return out
+        return [(int(cand_ids[i]), float(cand_scores[i])) for i in sel]

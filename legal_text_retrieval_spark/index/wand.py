@@ -332,18 +332,14 @@ def query_topk(
         qconst = qmap.select("qid", F.lit(0.0).alias("qconst"))
     qconst = qmap.join(qconst, "qid", "left").fillna({"qconst": 0.0}).select("qid", "query_id", "qconst")
 
-    # okapi precondition: WAND's block-max bounds assume non-negative
-    # term weights (w·block_max is only an upper bound for w ≥ 0), and
-    # the δ-padding appends pads after matched rows (matched ≥ 0 = pad
-    # score).  A negative ε floor (mean idf0 < 0: tiny-vocab/repetitive
-    # corpora) breaks both — refuse loudly; the relational bm25_topk
-    # handles that corner with its dense fallback.
-    if params.variant == "okapi" and index.manifest.get("min_idf", 0.0) < 0:
-        raise ValueError(
-            "index has negative idf values (okapi eps floor < 0); the WAND/"
-            "index path requires non-negative weights — use operators.bm25."
-            "bm25_topk (dense fallback) for this corpus"
-        )
+    # okapi negative-ε corner (mean idf0 < 0: tiny-vocab/repetitive
+    # corpora): WAND's block-max bounds assume non-negative weights
+    # (w·block_max is only an upper bound for w ≥ 0) and matched docs
+    # can score BELOW the unmatched 0, so pads may outrank matched.
+    # Handled exactly: pruning off (exhaustive decode — still the
+    # compressed-index path), pads generated for EVERY query and
+    # re-ranked together with matched rows.
+    negative_weights = params.variant == "okapi" and index.manifest.get("min_idf", 0.0) < 0
 
     # term_id pruning: an .isin literal list buys parquet row-group
     # min/max pruning, but collecting an unbounded distinct set to the
@@ -362,12 +358,17 @@ def query_topk(
         )
     joined = post.join(F.broadcast(qterms), "term_id")
 
+    # negative-weight mode must emit EVERY candidate from the kernel
+    # (k_eff = window): the pad anti-join below treats "not in local"
+    # as unmatched, and a matched doc dropped by a segment-local top-k
+    # would be resurrected as a score-qconst pad — wrong when its true
+    # score is below qconst.
     kernel = _make_stream_kernel(
         params,
         avgdl,
         window,
-        k,
-        prune=(mode == "wand"),
+        window if negative_weights else k,
+        prune=(mode == "wand" and not negative_weights),
         block_size=index.manifest["params"].get("block_size", 128),
     )
     # hash-partition by group key + sort within partitions: groups are
@@ -388,6 +389,14 @@ def query_topk(
     matched = (
         local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+        .join(qconst, "qid")
+        .select(
+            "qid",
+            "query_id",
+            "doc_id",
+            "rank",
+            (F.col("qconst") + F.col("ms")).alias("score"),
+        )
     )
 
     # matched-doc deficit per query (0 rows or < k candidates → pad).
@@ -402,42 +411,44 @@ def query_topk(
         .fillna({"n_matched": 0})
         .withColumn("deficit", F.greatest(F.lit(0), F.lit(k) - F.col("n_matched")))
     )
-    out = matched.join(qconst, "qid").select(
-        "qid",
-        "query_id",
-        "doc_id",
-        "rank",
-        (F.col("qconst") + F.col("ms")).alias("score"),
-    )
 
     # δ-padding is part of the plan unconditionally — when no query has
     # a deficit the broadcast side is empty and the branch costs ~0
     # (avoids an extra driver-blocking count() job per query batch).
-    deficits = need.filter(F.col("deficit") > 0)
+    # With negative weights (okapi ε < 0) EVERY query pads, because
+    # unmatched docs (score qconst) can outrank matched ones.
+    pad_queries = need if negative_weights else need.filter(F.col("deficit") > 0)
+    pad_queries = pad_queries.select("qid", "query_id", "qconst")
     # unmatched docs all score exactly qconst; reference argsort puts
-    # higher docIDs first among ties → take the highest unmatched ids.
+    # higher docIDs first among ties → the k highest unmatched ids are
+    # the only pad candidates that can ever appear in the top k.
     all_matched = local.select("qid", "doc_id")
-    top_unmatched = (
+    w2 = Window.partitionBy("qid").orderBy(F.desc("doc_id"))
+    pads = (
         index.docstats()
         .select("doc_id")
-        .crossJoin(F.broadcast(deficits.select("qid", "query_id", "qconst", "n_matched")))
+        .crossJoin(F.broadcast(pad_queries))
         .join(all_matched, ["qid", "doc_id"], "left_anti")
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= k)
+        .select("qid", "query_id", "doc_id", F.col("qconst").alias("score"))
     )
-    w2 = Window.partitionBy("qid").orderBy(F.desc("doc_id"))
-    pad = (
-        top_unmatched.withColumn("r2", F.row_number().over(w2))
-        .filter(F.col("r2") <= F.lit(k) - F.col("n_matched"))
-        .select(
-            "qid",
-            "query_id",
-            "doc_id",
-            (F.col("n_matched") + F.col("r2")).cast("long").alias("rank"),
-            F.col("qconst").alias("score"),
-        )
+    # pad queries re-rank their matched rows TOGETHER with the pad
+    # candidates (handles both the deficit case and negative-weight
+    # corpora exactly); untouched queries keep their matched ranks.
+    merged_src = (
+        matched.join(pad_queries.select("qid"), "qid", "left_semi")
+        .select("qid", "query_id", "doc_id", "score")
+        .unionByName(pads)
     )
-    out = out.unionByName(pad)
-
-    out = out.select("query_id", "doc_id", "rank", "score")
+    w3 = Window.partitionBy("qid").orderBy(F.desc("score"), F.desc("doc_id"))
+    merged = (
+        merged_src.withColumn("rank", F.row_number().over(w3).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "query_id", "doc_id", "rank", "score")
+    )
+    whole = matched.join(pad_queries.select("qid"), "qid", "left_anti")
+    out = whole.unionByName(merged).select("query_id", "doc_id", "rank", "score")
     if score_round is not None:
         out = out.withColumn("score", F.expr(round_sql("score", score_round)))
     return out

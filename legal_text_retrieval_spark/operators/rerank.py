@@ -71,6 +71,23 @@ def rerank_model_output(ingested: DataFrame) -> DataFrame:
     )
 
 
+def rerank_from_tsv(spark, path: str, prob_round: int | None = 6) -> DataFrame:
+    """S11 → ingestion in one call: read the reference-format prediction
+    TSV (query_id, doc_id, logit0, logit1 — utils.py:341-345 shape) and
+    produce (query_id, doc_id, prob, pred)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import read_predictions_tsv
+
+    raw = read_predictions_tsv(spark, path).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("logit0").cast("double").alias("logit0"),
+        F.col("logit1").cast("double").alias("logit1"),
+    )
+    return rerank_ingest(raw, prob_round)
+
+
 def rerank_accuracy(ingested: DataFrame, labels: DataFrame) -> DataFrame:
     """Task-5 accuracy of argmax predictions vs gold labels
     (/root/reference/src/utils.py:374-398): one row

@@ -54,13 +54,16 @@ def test_wide_query_batch_over_guard(spark, tiny_docs, tmp_path):
     assert len(out) == 3
 
 
-def test_okapi_negative_eps_index_refused(spark, tmp_path):
+def test_okapi_negative_eps_index_exact(spark, tmp_path):
     """Repetitive tiny-vocab corpus → mean idf0 < 0 → negative ε floor:
-    the index/serving paths must refuse (WAND bounds and δ-padding
-    assume non-negative weights); the relational path handles it via
-    its dense fallback (test_plans.py)."""
+    WAND bounds are invalid and unmatched docs (score 0) can outrank
+    matched ones, so the index path must switch to exhaustive decode +
+    all-query pad re-rank — and still match the relational dense plan
+    rank-for-rank.  Serving must agree too."""
+    from legal_text_retrieval_spark.config import BM25Params
     from legal_text_retrieval_spark.index import wand
     from legal_text_retrieval_spark.index.serving import LocalIndexServer
+    from legal_text_retrieval_spark.operators.bm25 import bm25_scores, topk
 
     docs = spark.createDataFrame(
         pd.DataFrame(
@@ -72,8 +75,28 @@ def test_okapi_negative_eps_index_refused(spark, tmp_path):
     )
     index = _build(spark, docs, tmp_path / "idx3", variant="okapi")
     assert index.manifest["min_idf"] < 0
-    q = spark.createDataFrame(pd.DataFrame({"query_id": [0], "query_text": ["aa"]}))
-    with pytest.raises(ValueError, match="negative idf"):
-        wand.query_topk(index, q, k=3)
-    with pytest.raises(ValueError, match="negative idf"):
-        LocalIndexServer.load(spark, str(tmp_path / "idx3"))
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1], "query_text": ["aa", "zz oov"]})
+    )
+    okapi = BM25Params(variant="okapi")
+    dense = (
+        topk(bm25_scores(docs, q, okapi, score_round=6), k=4)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        wand.query_topk(index, q, k=4, score_round=6)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert dense.equals(got), (dense, got)
+    # negative scores really occur → pads (score 0) outrank matched
+    assert (dense[dense.query_id == 0]["score"] < 0).any()
+    assert dense[(dense.query_id == 0) & (dense["rank"] == 1)]["score"].iloc[0] == 0.0
+
+    srv = LocalIndexServer.load(spark, str(tmp_path / "idx3"))
+    want = dense[dense.query_id == 0][["doc_id"]].reset_index(drop=True)
+    got_srv = pd.DataFrame(srv.query("aa", 4), columns=["doc_id", "score"])
+    assert got_srv["doc_id"].tolist() == want["doc_id"].tolist()
