@@ -34,7 +34,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn, repeat: int = 2):
+    def timed(name, fn, repeat: int = 3):
         # best-of-N: this box's wall-clock noise is ±30% (see
         # BASELINE.md) — the minimum is the least-interfered sample
         best = float("inf")
