@@ -359,6 +359,18 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+def _q_clean_corpus(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.textstats import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir))
+
+
+def _q_token_quantiles(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.textstats import token_count_quantiles
+
+    return token_count_quantiles(_docs(spark, sf_dir))
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from legal_text_retrieval_spark.operators.textstats import fingerprint
 
@@ -691,6 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "doc_fingerprint": _q_doc_fingerprint,
+        "clean_corpus": _q_clean_corpus,
+        "token_count_quantiles": _q_token_quantiles,
         "multimodal_features": _q_multimodal_features,
         "ensemble_predictions": _q_ensemble,
         "train_test_split": _q_train_test_split,
@@ -800,6 +814,8 @@ USING (query_id, doc_id) WHERE r2.hit IS NULL
         "language_id": TS.language_id_sql("documents"),
         "quality_scores": TS.quality_scores_sql("documents"),
         "doc_fingerprint": TS.fingerprint_sql("documents"),
+        "clean_corpus": TS.clean_corpus_sql("documents"),
+        "token_count_quantiles": TS.token_count_quantiles_sql("documents"),
         "multimodal_features": MM.payload_features_sql("documents"),
         "train_test_split": PR.train_test_split_sql("documents"),
         "bm25_subset_scores": (

@@ -210,3 +210,106 @@ SELECT doc_id,
          (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fp
 FROM {table} ORDER BY doc_id
 """
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr"),
+    text_col: str = "content",
+) -> DataFrame:
+    """(doc_id, quality, lang_pred, is_dup, keep) — the composed
+    C4-style corpus-cleaning decision a training-data pipeline runs
+    before tokenization: quality floor + language allowlist + exact
+    dedup (keep the smallest doc_id per identical content).
+
+    All three gates are single-pass relational sub-plans over the same
+    corpus scan; the dedup gate joins only (sha, keeper) pairs."""
+    from .dedup import dedup_exact
+
+    q = quality_scores(docs, text_col).select("doc_id", "quality")
+    lang = language_id(docs, text_col).select("doc_id", "lang_pred")
+    keepers = dedup_exact(docs, text_col).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(False).alias("is_dup_")
+    )
+    langs = ", ".join(f"'{l}'" for l in allowed_langs)
+    return (
+        q.join(lang, "doc_id")
+        .join(keepers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            "lang_pred",
+            F.coalesce(F.col("is_dup_"), F.lit(True)).alias("is_dup"),
+            F.expr(
+                f"CAST(quality >= {dlit(min_quality)} AND lang_pred IN ({langs}) "
+                f"AND is_dup_ IS NOT NULL AS BOOLEAN)"
+            ).alias("keep"),
+        )
+    )
+
+
+def clean_corpus_sql(
+    table: str,
+    min_quality: float = 0.3,
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr"),
+    text_col: str = "text",
+) -> str:
+    langs = ", ".join(f"'{l}'" for l in allowed_langs)
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({quality_scores_sql(table, text_col)})),
+lang AS (SELECT doc_id, lang_pred FROM ({language_id_sql(table, text_col)})),
+keepers AS (SELECT min(doc_id) AS doc_id, FALSE AS is_dup_
+            FROM {table} GROUP BY sha256({text_col}))
+SELECT q.doc_id, q.quality, lang.lang_pred,
+       COALESCE(is_dup_, TRUE) AS is_dup,
+       (q.quality >= {dlit(min_quality)} AND lang_pred IN ({langs})
+        AND is_dup_ IS NOT NULL) AS keep
+FROM q JOIN lang USING (doc_id) LEFT JOIN keepers USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# exact lower-interpolation quantiles of the whitespace token count —
+# distributed via a value histogram + cumulative sum over DISTINCT
+# counts (bounded by max doc length, never by corpus size), no global
+# row sort.  rank_q = floor(q·(n−1)) + 1 with q as exact fractions.
+_QUANTS = ((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (9, 10, "p90"))
+
+
+def token_count_quantiles(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = token_counts(docs, text_col).select("n_ws_tokens")
+    hist = counts.groupBy("n_ws_tokens").agg(F.count("*").alias("c"))
+    # the window runs over DISTINCT count values only (bounded by max
+    # doc length, not corpus size) — cheap even at 10^12 rows
+    w = Window.orderBy("n_ws_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = counts.count()
+    aggs = []
+    for num, den, name in _QUANTS:
+        r = (num * (n - 1)) // den + 1
+        aggs.append(
+            F.min(F.when(F.col("cum") >= r, F.col("n_ws_tokens"))).cast("long").alias(name)
+        )
+    return cum.agg(*aggs).select(
+        F.lit(n).cast("long").alias("n"), *[F.col(x[2]) for x in _QUANTS]
+    )
+
+
+def token_count_quantiles_sql(table: str, text_col: str = "text") -> str:
+    qcols = []
+    for num, den, name in _QUANTS:
+        r = f"(({num} * (n.n - 1)) // {den} + 1)"
+        qcols.append(
+            f"(SELECT min(n_ws_tokens) FROM cum, n WHERE cum >= {r})::BIGINT AS {name}"
+        )
+    return f"""
+WITH counts AS (SELECT len({tokens_sql(text_col)})::BIGINT AS n_ws_tokens FROM {table}),
+hist AS (SELECT n_ws_tokens, count(*) AS c FROM counts GROUP BY n_ws_tokens),
+cum AS (SELECT n_ws_tokens, sum(c) OVER (ORDER BY n_ws_tokens) AS cum FROM hist),
+n AS (SELECT count(*)::BIGINT AS n FROM counts)
+SELECT n.n AS n, {", ".join(qcols)}
+FROM n
+"""

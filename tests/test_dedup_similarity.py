@@ -277,3 +277,41 @@ def test_language_id_picks_stopword_language(spark):
     )
     got = {r.doc_id: r.lang_pred for r in language_id(spark.createDataFrame(pdf)).collect()}
     assert got[0] == "en" and got[1] == "de" and got[2] == "und"
+
+
+def test_clean_corpus_gates(spark):
+    """keep = quality floor ∧ language allowlist ∧ exact-dedup keeper."""
+    from legal_text_retrieval_spark.operators.textstats import clean_corpus
+
+    good = "the cat is in the house and the dog runs to the park " * 3
+    rows = [
+        {"doc_id": 0, "content": good},
+        {"doc_id": 1, "content": good},  # exact dup of 0 → dropped
+        {"doc_id": 2, "content": "zz yy xx ww vv"},  # lang 'und' → dropped
+        {"doc_id": 3, "content": "!!! ??? ### $$$ %%% ^^^"},  # punct → low quality
+        {"doc_id": 4, "content": "der hund ist nicht mit der katze und so weiter " * 3},
+    ]
+    got = {
+        r.doc_id: r
+        for r in clean_corpus(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    }
+    assert got[0].keep and not got[0].is_dup and got[0].quality == 1.0
+    assert got[1].is_dup and not got[1].keep
+    assert got[2].lang_pred == "und" and not got[2].keep
+    assert got[3].quality < 0.3 and not got[3].keep
+    assert got[4].keep and got[4].lang_pred == "de"
+
+
+def test_token_count_quantiles_exact(spark):
+    """Quantiles equal numpy's lower-interpolation on the same counts."""
+    from legal_text_retrieval_spark.operators.textstats import token_count_quantiles
+
+    rng = np.random.default_rng(41)
+    lens = rng.integers(1, 60, size=137)
+    rows = [{"doc_id": i, "content": " ".join(["w"] * int(n))} for i, n in enumerate(lens)]
+    got = token_count_quantiles(spark.createDataFrame(pd.DataFrame(rows))).collect()[0]
+    srt = np.sort(lens)
+    assert got.n == 137
+    for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")):
+        want = int(srt[int(np.floor(q * (137 - 1)))])
+        assert got[name] == want, (name, got[name], want)
