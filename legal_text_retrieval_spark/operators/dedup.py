@@ -254,47 +254,45 @@ ORDER BY doc_id
 
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "content") -> DataFrame:
     """(doc_id, simhash) — tf-weighted hyperbit fingerprint.  All
-    integer arithmetic; strict s_b > 0 sets the bit."""
+    integer arithmetic; strict s_b > 0 sets the bit.
+
+    One groupBy with ``bits`` conditional-sum aggregates over the
+    (doc, term, tf) relation — no per-bit row explosion (the naive
+    explode multiplies the termfreq shuffle 32×; integer sums are
+    order-free, so the fold needs no ordering)."""
     tf = (
         docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", md5_hash60(F.col("term")))
     )
-    bitsum = (
-        tf.select(
-            "doc_id",
-            "tf",
-            "h",
-            F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b"),
-        )
-        .withColumn(
-            "s",
-            F.expr("tf * (2 * (shiftright(h, CAST(b AS INT)) % 2) - 1)"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("s").alias("sb"))
+    bit_aggs = [
+        F.sum(F.expr(f"tf * (2 * (shiftright(h, {b}) % 2) - 1)")).alias(f"sb{b}")
+        for b in range(bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_aggs)
+    sim = " + ".join(
+        f"(CASE WHEN sb{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
     )
-    return (
-        bitsum.withColumn(
-            "bitval", F.expr("CASE WHEN sb > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END")
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    return sums.select("doc_id", F.expr(sim).alias("simhash"))
 
 
 def simhash_sql(table: str, bits: int = 32, text_col: str = "text") -> str:
     h = md5_hash60_sql("term")
+    bit_aggs = ", ".join(
+        f"sum(tf * (2 * ((h >> {b}) % 2) - 1)) AS sb{b}" for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN sb{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
     return f"""
 WITH tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf, {h} AS h
   FROM (SELECT doc_id, unnest({tokens_sql(text_col)}) AS term FROM {table})
   GROUP BY doc_id, term),
-bitsum AS (
-  SELECT doc_id, b, sum(tf * (2 * ((h >> b) % 2) - 1)) AS sb
-  FROM tf, unnest(generate_series(0, {bits - 1})) AS t(b)
-  GROUP BY doc_id, b)
-SELECT doc_id, sum(CASE WHEN sb > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
-FROM bitsum GROUP BY doc_id ORDER BY doc_id
+sums AS (SELECT doc_id, {bit_aggs} FROM tf GROUP BY doc_id)
+SELECT doc_id, ({sim})::BIGINT AS simhash
+FROM sums ORDER BY doc_id
 """
