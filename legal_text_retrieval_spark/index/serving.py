@@ -60,6 +60,15 @@ class LocalIndexServer:
         for r in dict_rows:
             srv.term_idf[r.term] = r.idf
             id2term[r.term_id] = r.term
+        # same global switch as wand.query_topk's negative_weights: with
+        # a negative okapi ε floor, pads can outrank matched for EVERY
+        # query (including exact qconst ties), so padding keys off the
+        # dictionary minimum, not a per-query score heuristic
+        srv.has_negative_idf = (
+            params.variant == "okapi"
+            and bool(srv.term_idf)
+            and min(srv.term_idf.values()) < 0
+        )
 
         parts: dict[str, list] = {}
         for r in (
@@ -133,7 +142,7 @@ class LocalIndexServer:
         # pad-query window.  The no-pad fast path ranks on raw ms (the
         # distributed matched window) — adding the constant only after
         # selection, so no tie can be manufactured by the addition.
-        need_pads = n < k or (n and (qconst + cand_ms).min() < qconst)
+        need_pads = n < k or getattr(self, "has_negative_idf", False)
         if not need_pads:
             order = np.lexsort((cand_ids, cand_ms))
             sel = order[-min(k, n):][::-1]

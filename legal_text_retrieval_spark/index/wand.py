@@ -307,9 +307,18 @@ def query_topk(
     qocc = query_term_occurrences(queries, query_col).withColumn(
         "qid", F.col("query_id").cast("string")
     )
-    qterms = qocc.join(
-        F.broadcast(index.dictionary().select("term", "term_id", "idf")), "term", "inner"
-    ).select("qid", "term_id", "qtf", "idf")
+    # idf == 0 terms (okapi df == n/2 exactly) contribute nothing but
+    # would mark their postings as "matched" candidates — the relational
+    # plan (and the reference) filters them out (bm25.py: idf != 0), so
+    # the index path must too, or candidacy/deficit/pad sets diverge and
+    # w == 0 invalidates the block-skip bound.
+    qterms = (
+        qocc.join(
+            F.broadcast(index.dictionary().select("term", "term_id", "idf")), "term", "inner"
+        )
+        .filter(F.col("idf") != 0)
+        .select("qid", "term_id", "qtf", "idf")
+    )
 
     # per-query δ-constant over ALL occurrences (OOV → idf 0 → drops out)
     if params.variant == "plus":
@@ -338,8 +347,15 @@ def query_topk(
     # can score BELOW the unmatched 0, so pads may outrank matched.
     # Handled exactly: pruning off (exhaustive decode — still the
     # compressed-index path), pads generated for EVERY query and
-    # re-ranked together with matched rows.
-    negative_weights = params.variant == "okapi" and index.manifest.get("min_idf", 0.0) < 0
+    # re-ranked together with matched rows.  Indexes built before
+    # min_idf was recorded must not silently default to "safe": compute
+    # it from the (cached, small) dictionary instead.
+    negative_weights = False
+    if params.variant == "okapi":
+        min_idf = index.manifest.get("min_idf")
+        if min_idf is None:
+            min_idf = index.dictionary().agg(F.min("idf")).collect()[0][0]
+        negative_weights = min_idf < 0
 
     # term_id pruning: an .isin literal list buys parquet row-group
     # min/max pruning, but collecting an unbounded distinct set to the

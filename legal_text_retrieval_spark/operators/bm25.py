@@ -220,14 +220,17 @@ def bm25_scores(
     text_col: str = "content",
     query_col: str = "query_text",
     score_round: int | None = None,
+    _pieces: _BM25Pieces | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score) over ALL docs (reference scores the
     whole corpus; zero-match docs get the per-query δ-constant).
 
     The dense Q×D matrix: the semantic baseline / oracle form.  For
     top-k retrieval use :func:`bm25_topk`, whose deficit-padded plan
-    never materializes unmatched pairs."""
-    p = _bm25_pieces(docs, queries, params, text_col, query_col)
+    never materializes unmatched pairs.  ``_pieces`` lets callers that
+    already built the sub-plans (the pad-unsafe fallbacks) avoid
+    re-running the stats/ε jobs."""
+    p = _pieces or _bm25_pieces(docs, queries, params, text_col, query_col)
     scores = (
         p.dl.select("doc_id")
         .crossJoin(F.broadcast(p.qconst))
@@ -254,12 +257,16 @@ def bm25_scores_subset(
     """Q2: get_batch_scores — score only a per-query candidate doc set
     (/root/reference/src/custom_rank_bm25.py:162-173).
 
-    Built directly from the matched sub-plan: candidates join qconst +
-    left-join matched — unmatched candidates get the δ-constant; the
-    Q×D matrix never materializes."""
+    Built directly from the matched sub-plan: candidates (deduped, and
+    semi-joined to the corpus so nonexistent doc_ids are dropped rather
+    than given a fabricated δ score) join qconst + left-join matched —
+    unmatched candidates get the δ-constant; the Q×D matrix never
+    materializes."""
     p = _bm25_pieces(docs, queries, params, **kw)
     scores = (
         candidates.select("query_id", "doc_id")
+        .distinct()
+        .join(p.dl.select("doc_id"), "doc_id", "left_semi")
         .join(F.broadcast(p.qconst), "query_id")
         .join(p.matched, ["query_id", "doc_id"], "left")
         .select(
@@ -301,21 +308,28 @@ def topk_padded(
 
     PRECONDITION (checked by callers via pad_safe): every matched score
     strictly exceeds its query's base score BEFORE rounding.  Rounding
-    can still collapse a tiny matched score onto the base, so deficit
-    queries re-rank their matched rows TOGETHER with the pad candidates
-    by (score DESC, doc_id DESC) rather than appending pads — exactly
-    the reference argsort order in every tie pattern.  Only queries
-    with fewer than k matched docs trigger the anti-join, whose left
-    side is docs × deficit-queries — bounded by the (rare) deficit
+    can still collapse matched scores onto the base, so a query joins
+    the pad re-rank branch when it has a deficit (fewer than k matched
+    docs) OR when its k-th matched score does not strictly beat the
+    base — in either case its matched top-k is re-ranked TOGETHER with
+    the k best pad candidates by (score DESC, doc_id DESC), exactly the
+    reference argsort order in every tie pattern.  (Matched rows below
+    the top-k stay excluded: they are dominated by k included matched
+    rows, so they can never enter the true top-k.)  The pad anti-join's
+    left side is docs × pad-queries — bounded by the rare deficit/tie
     count."""
     ranked = topk(matched_scores, k).cache()
-    counts = ranked.groupBy("query_id").agg(F.count("*").alias("n_matched"))
+    counts = ranked.groupBy("query_id").agg(
+        F.count("*").alias("n_matched"), F.min("score").alias("kth_score")
+    )
     need = (
         base.join(counts, "query_id", "left")
         .fillna({"n_matched": 0})
         .withColumn("deficit", F.greatest(F.lit(0), F.lit(k) - F.col("n_matched")))
     )
-    deficits = need.filter(F.col("deficit") > 0).select("query_id", "base_score")
+    deficits = need.filter(
+        (F.col("deficit") > 0) | (F.col("kth_score") <= F.col("base_score"))
+    ).select("query_id", "base_score")
     # deficit queries have < k matched docs, so `ranked` holds ALL their
     # matched pairs — the anti-join below is complete.
     w2 = Window.partitionBy("query_id").orderBy(F.desc("doc_id"))
@@ -351,7 +365,7 @@ def bm25_topk(
     fallback."""
     p = _bm25_pieces(docs, queries, params, **kw)
     if not p.pad_safe:
-        scores = bm25_scores(docs, queries, params, score_round=score_round, **kw)
+        scores = bm25_scores(docs, queries, params, score_round=score_round, _pieces=p, **kw)
         return topk(scores, k)
     matched = p.matched.join(F.broadcast(p.qconst), "query_id").select(
         "query_id", "doc_id", (F.col("qconst") + F.col("ms")).alias("score")

@@ -81,7 +81,15 @@ def chunked_corpus(docs: DataFrame, size: int, stride: int, text_col: str = "con
     and their [1:10] sub-windows are indexed together; sub keys carry a
     ``-subN`` suffix, here an arithmetic id suffix instead)."""
     chunks = chunk_documents(docs, size, stride, text_col)
-    return docs.select("doc_id", F.col(text_col).alias("content")).unionByName(
+    # in-plan precondition guard: a parent doc_id at or above the chunk
+    # id base would alias into chunk-id space and silently corrupt the
+    # parent mapping — fail the job instead (raise_error evaluates only
+    # on violating rows; zero cost otherwise)
+    guarded = F.expr(
+        f"CASE WHEN doc_id < {CHUNK_ID_BASE} THEN doc_id "
+        f"ELSE raise_error('doc_id >= CHUNK_ID_BASE ({CHUNK_ID_BASE}): chunk-id space collision') END"
+    )
+    return docs.select(guarded.alias("doc_id"), F.col(text_col).alias("content")).unionByName(
         chunks.select(
             (F.lit(CHUNK_ID_BASE) + F.col("doc_id") * 16 + F.col("sub_id")).alias("doc_id"),
             F.col("chunk").alias("content"),

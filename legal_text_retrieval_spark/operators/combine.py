@@ -38,7 +38,7 @@ def combine_weighted_topk(
     runs exactly once (the verdict's double-computation fix)."""
     p = _bm25_pieces(docs, queries, params, text_col=text_col)
     if not p.pad_safe:
-        b = bm25_scores(docs, queries, params, text_col=text_col)
+        b = bm25_scores(docs, queries, params, text_col=text_col, _pieces=p)
         c = TF.tfidf_cosine_scores(docs, queries, text_col=text_col)
         bmax = b.agg(F.max("score")).collect()[0][0]
         j = (

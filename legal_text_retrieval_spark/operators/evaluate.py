@@ -34,10 +34,12 @@ def micro_eval(pred: DataFrame, qrels: DataFrame) -> DataFrame:
     pos = pos.select("query_id", "doc_id").distinct().withColumn("in_p", F.lit(1))
     gold = qrels.select("query_id", "doc_id").distinct().withColumn("in_g", F.lit(1))
     j = pos.join(gold, ["query_id", "doc_id"], "full").fillna({"in_p": 0, "in_g": 0})
+    # coalesce: an empty join (no predictions AND no gold) must yield
+    # zeros like the DuckDB twin's count(*) subqueries, not NULLs
     c = j.agg(
-        F.sum("in_g").cast("long").alias("n_gold"),
-        F.sum("in_p").cast("long").alias("n_pred"),
-        F.sum(F.col("in_p") * F.col("in_g")).cast("long").alias("n_true"),
+        F.coalesce(F.sum("in_g"), F.lit(0)).cast("long").alias("n_gold"),
+        F.coalesce(F.sum("in_p"), F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce(F.sum(F.col("in_p") * F.col("in_g")), F.lit(0)).cast("long").alias("n_true"),
     )
     p = "CASE WHEN n_pred = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_pred END"
     r = "CASE WHEN n_gold = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_true AS DOUBLE) / n_gold END"

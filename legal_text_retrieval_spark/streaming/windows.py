@@ -58,7 +58,13 @@ def windowed_event_counts(
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # DECIMAL(18,4) sum: exact, order-independent — the state-
+            # store merge order (streaming) and the partition merge
+            # order (batch) then cannot produce different doubles (the
+            # repo-wide float-determinism rule; relational._DSUM)
+            F.expr("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").alias(
+                "total_value"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),

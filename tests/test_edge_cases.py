@@ -67,3 +67,59 @@ def test_lang_filtered_build_pushes_filter(spark, tiny_docs, tmp_path):
     builder.build_index(spark, src, root, PARAMS)
     idx = wand.FulltextIndex.load(spark, root)
     assert idx.manifest["n_docs"] == src.count()
+
+
+def test_micro_eval_empty_both_sides(spark):
+    """Empty predictions AND empty qrels must yield zeros (not NULLs),
+    matching the DuckDB twin's count(*) semantics."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from legal_text_retrieval_spark.operators.evaluate import micro_eval
+
+    schema = T.StructType(
+        [T.StructField("query_id", T.LongType()), T.StructField("doc_id", T.LongType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    row = micro_eval(empty, empty).collect()[0]
+    assert (row.n_gold, row.n_pred, row.n_true) == (0, 0, 0)
+    assert (row.p, row.r, row.f1, row.f2) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_bm25_subset_dedups_and_validates_candidates(spark, tiny_docs, tiny_queries):
+    """Duplicate candidate pairs collapse to one row; candidates whose
+    doc_id is not in the corpus are dropped, not given a fabricated
+    δ-constant score."""
+    import pandas as pd
+
+    from legal_text_retrieval_spark.config import NORTH_STAR_BM25
+    from legal_text_retrieval_spark.operators.bm25 import bm25_scores_subset
+
+    q1 = tiny_queries.limit(1).collect()[0].query_id
+    cand = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [q1, q1, q1],
+                "doc_id": [0, 0, 999_999],  # dup pair + nonexistent doc
+            }
+        )
+    )
+    got = bm25_scores_subset(
+        tiny_docs, tiny_queries, cand, NORTH_STAR_BM25
+    ).toPandas()
+    assert len(got) == 1 and got.iloc[0].doc_id == 0
+
+
+def test_chunked_corpus_guards_id_space(spark):
+    """A parent doc_id at/above CHUNK_ID_BASE must fail loudly, not
+    silently alias into chunk-id space."""
+    import pandas as pd
+    import pytest
+
+    from legal_text_retrieval_spark.operators.chunk import CHUNK_ID_BASE, chunked_corpus
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [CHUNK_ID_BASE + 7], "content": ["a b c"]})
+    )
+    with pytest.raises(Exception, match="CHUNK_ID_BASE"):
+        chunked_corpus(docs, size=30, stride=15).collect()
