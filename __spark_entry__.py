@@ -593,6 +593,38 @@ def _q_bm25_chunked_topk(spark, sf_dir):
     )
 
 
+def _q_cola_rows(spark, sf_dir):
+    """S7: CoLA rows over the derived query set — label 1 iff the query
+    has at least one gold article (a deterministic, SQL-expressible
+    labeling shared with the oracle)."""
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.sources import corpus as C
+    from legal_text_retrieval_spark.sources.sinks import cola_rows
+
+    docs = _docs(spark, sf_dir)
+    q = C.derived_queries(docs)
+    has_gold = C.derived_qrels(docs).select("query_id").distinct()
+    labeled = q.join(
+        has_gold.withColumn("label", F.lit(1)), "query_id", "left"
+    ).fillna({"label": 0})
+    return cola_rows(labeled)
+
+
+def _q_bm25_chunked_topk_indexed(spark, sf_dir):
+    """The reference retrieval configuration (docs ∪ chunks, parent
+    keep-first dedup) served from the packed posting index via WAND —
+    bit-identical to the relational bm25_chunked_topk, same oracle."""
+    from legal_text_retrieval_spark.operators.chunk import bm25_chunked_topk_indexed
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    root = f"/tmp/lts_index_chunked_v1/{Path(sf_dir.rstrip('/')).name}"
+    return bm25_chunked_topk_indexed(
+        spark, docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K, out_dir=root, **_CHUNK
+    )
+
+
 def _q_pair_hydration(spark, sf_dir):
     from legal_text_retrieval_spark.operators.pairs import generate_pairs, hydrate_pairs
     from legal_text_retrieval_spark.sources import corpus as C
@@ -721,10 +753,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_accuracy": _q_rerank_accuracy,
         "rerank_eval": _q_rerank_eval,
         "bm25_chunked_topk": _q_bm25_chunked_topk,
+        "bm25_chunked_topk_indexed": _q_bm25_chunked_topk_indexed,
         "pair_hydration": _q_pair_hydration,
         "submission_rows": _q_submission_rows,
         "brand_supplier_revenue": _q_brand_supplier_revenue,
         "mrpc_rows": _q_mrpc_rows,
+        "cola_rows": _q_cola_rows,
         "content_sha": _q_content_sha,
     }
 
@@ -747,7 +781,10 @@ def oracle_sql() -> dict[str, str]:
     from legal_text_retrieval_spark.operators import tfidf as TF
     from legal_text_retrieval_spark.operators.chunk import chunk_documents_sql
     from legal_text_retrieval_spark.sources import sinks as SK
-    from legal_text_retrieval_spark.sources.corpus import derived_queries_sql
+    from legal_text_retrieval_spark.sources.corpus import (
+        derived_qrels_sql,
+        derived_queries_sql,
+    )
 
     qsql = derived_queries_sql("documents")
     return {
@@ -893,6 +930,9 @@ ORDER BY query_id, doc_id, sub_id
         "bm25_chunked_topk": CH.bm25_chunked_topk_sql(
             "documents", qsql, NORTH_STAR_BM25, _K, **_CHUNK
         ),
+        "bm25_chunked_topk_indexed": CH.bm25_chunked_topk_sql(
+            "documents", qsql, NORTH_STAR_BM25, _K, **_CHUNK
+        ),
         "pair_hydration": (
             "WITH "
             + _retrieved_ctes()
@@ -932,6 +972,15 @@ ORDER BY p.query_id, p.doc_id
         "content_sha": (
             "SELECT doc_id, sha256(text) AS content_sha FROM documents ORDER BY doc_id"
         ),
+        "cola_rows": f"""
+WITH q AS ({derived_queries_sql("documents")}),
+g AS (SELECT DISTINCT query_id FROM ({derived_qrels_sql("documents")}))
+SELECT replace(q.query_text, chr(10), ' ') AS sentence,
+       (CASE WHEN g.query_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS label,
+       q.query_id::VARCHAR AS id
+FROM q LEFT JOIN g USING (query_id)
+ORDER BY id
+""",
         "brand_supplier_revenue": RL.brand_supplier_revenue_sql(),
         "submission_rows": (
             "WITH "

@@ -35,14 +35,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name, fn, repeat: int = 3):
-        # best-of-N: this box's wall-clock noise is ±30% (see
-        # BASELINE.md) — the minimum is the least-interfered sample
-        best = float("inf")
+        # median-of-N: this box's wall-clock noise is ±30% (see
+        # BASELINE.md) — a single sample whipsaws round-to-round
+        samples = []
         for _ in range(repeat):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     timed("tokenize_stats", lambda: stats.corpus_stats(docs).collect())
     timed("term_tf_df", lambda: stats.document_frequencies(docs).count())
@@ -61,11 +62,51 @@ def main() -> None:
 
     idx_root = tempfile.mkdtemp(prefix="lts_bench_idx_")
     iparams = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
-    timed("index_build", lambda: build_index(spark, docs, idx_root, iparams, resume=False))
+
+    def fresh_build():
+        shutil.rmtree(idx_root, ignore_errors=True)
+        build_index(spark, docs, idx_root, iparams, resume=False)
+
+    timed("index_build", fresh_build)
     index = FulltextIndex.load(spark, idx_root)
     timed("wand_topk150", lambda: query_topk(index, queries_df, k=150).count(), repeat=1)
     timed("wand_topk150_warm", lambda: query_topk(index, queries_df, k=150).count())
     timed("wand_topk10_warm", lambda: query_topk(index, queries_df, k=10).count())
+
+    # the reference's composed retrieval configuration (docs ∪ chunks +
+    # parent keep-first dedup): relational scorer vs the packed-index
+    # WAND path over the same chunked corpus
+    from legal_text_retrieval_spark.operators.chunk import (
+        bm25_chunked_topk,
+        build_chunked_index,
+        parent_dedup,
+    )
+
+    # "chunked_" keys are reported but EXCLUDED from the headline total
+    # so the round-to-round headline stays comparable to BASELINE.md
+    chunk_kw = dict(size=30, stride=15)
+    timed(
+        "chunked_relational_topk150",
+        lambda: bm25_chunked_topk(
+            docs, queries_df, NORTH_STAR_BM25, k=150, **chunk_kw
+        ).count(),
+    )
+    chunked_root = tempfile.mkdtemp(prefix="lts_bench_cidx_")
+
+    def fresh_chunked_build():
+        shutil.rmtree(chunked_root, ignore_errors=True)
+        build_chunked_index(spark, docs, chunked_root, NORTH_STAR_BM25, **chunk_kw)
+
+    timed("chunked_index_build", fresh_chunked_build)
+    cindex = FulltextIndex.load(spark, chunked_root)
+    timed(
+        "chunked_wand_topk150_warm",
+        lambda: parent_dedup(
+            query_topk(cindex, queries_df, k=150).select("query_id", "doc_id", "rank")
+        ).count(),
+    )
+    shutil.rmtree(chunked_root, ignore_errors=True)
+
     n_queries = queries_df.count()
     timings["wand_batch_ms_per_query"] = round(
         timings["wand_topk10_warm"] / max(1, n_queries) * 1000, 2
@@ -126,7 +167,10 @@ def main() -> None:
             v
             for k, v in timings.items()
             if not (
-                "_ms" in k or k.endswith("_p50_s") or k.startswith("reference_")
+                "_ms" in k
+                or k.endswith("_p50_s")
+                or k.startswith("reference_")
+                or k.startswith("chunked_")
             )
         ),
         3,
@@ -142,6 +186,8 @@ def main() -> None:
                 "n_docs": n_docs,
                 "cpus": int(cpus),
                 "index_build_docs_per_sec": docs_per_sec,
+                "timing": "median-of-3 per query (single-shot: wand_topk150 cold, "
+                "reference_* clone, serving percentiles over all queries)",
             }
         )
     )

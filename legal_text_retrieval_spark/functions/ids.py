@@ -38,7 +38,12 @@ def assign_dense_ids(
     ``ORDER BY order_cols`` (0-based)."""
     spark = df.sparkSession
     if distributed is None:
-        distributed = df.count() > DISTRIBUTED_ID_THRESHOLD
+        # bounded probe, not a full-scan count(): LocalLimit stops each
+        # partition after THRESHOLD+1 rows, so auto mode costs O(threshold)
+        # reads regardless of relation size
+        distributed = (
+            df.limit(DISTRIBUTED_ID_THRESHOLD + 1).count() > DISTRIBUTED_ID_THRESHOLD
+        )
     if not distributed:
         w = Window.orderBy(*order_cols)
         return df.withColumn(id_col, F.row_number().over(w).cast("long") - 1)

@@ -236,7 +236,14 @@ def build_index(
     """
     params = params or IndexParams()
     paths = IndexPaths(out_dir)
-    manifest: dict = {"params": {**asdict(params.bm25), "block_size": params.block_size,
+    # format_version bumps on any on-disk layout change; eps_fold names
+    # the okapi ε-floor fold algorithm — indexes built under the round-1
+    # flat term-ordered fold carry no eps_fold key and must be rebuilt,
+    # not trusted (the md5-bucketed two-level fold changes ε in the last
+    # ulps, so scores/oracle hashes are version-incompatible).
+    manifest: dict = {"format_version": 3,
+                      "eps_fold": "md5-bucketed-1024-two-level",
+                      "params": {**asdict(params.bm25), "block_size": params.block_size,
                                  "segment_doc_window": params.segment_doc_window},
                       "stages": {}}
     if resume and Path(paths.manifest).exists():
@@ -312,7 +319,14 @@ def build_index(
             idf = raw.withColumn(
                 "idf", F.expr(f"CASE WHEN idf0 < 0 THEN CAST({eps!r} AS DOUBLE) ELSE idf0 END")
             ).drop("idf0")
-        return assign_term_ids(idf, materialize_path=f"{out_dir}/_termid_ranged")
+        # vocab ≤ total_tokens, already measured by the docstats stage:
+        # small corpora skip the auto-mode probe job entirely
+        distributed = (
+            False if total_tokens <= DISTRIBUTED_TERMID_THRESHOLD else None
+        )
+        return assign_term_ids(
+            idf, distributed=distributed, materialize_path=f"{out_dir}/_termid_ranged"
+        )
 
     dictionary = stage("dictionary", paths.dictionary, make_dictionary)
     # min_idf < 0 (okapi negative eps floor) invalidates WAND's

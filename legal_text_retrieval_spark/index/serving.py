@@ -32,6 +32,7 @@ from .builder import IndexPaths
 @dataclass
 class _TermPostings:
     doc_ids: np.ndarray  # int64, sorted
+    slots: np.ndarray  # int64 positions in the sorted doc-id census
     contribs: np.ndarray  # float64 matched-part contribution (idf excluded)
 
 
@@ -83,17 +84,23 @@ class LocalIndexServer:
             dls = codec.decode_varint(bytes(r.dls_enc)).astype(np.int64)
             tfp = codec.tf_part(tfs, dls, params.k1, params.b, srv.avgdl, params.variant)
             parts.setdefault(term, []).append((r.seg_id, ids, tfp))
-        for term, segs in parts.items():
-            segs.sort(key=lambda t: t[0])  # docID order across segments
-            srv.term_post[term] = _TermPostings(
-                np.concatenate([s[1] for s in segs]), np.concatenate([s[2] for s in segs])
-            )
         srv.all_doc_ids = np.sort(
             np.fromiter(
                 (r.doc_id for r in spark.read.parquet(paths.docstats).select("doc_id").collect()),
                 dtype=np.int64,
             )
         )
+        for term, segs in parts.items():
+            segs.sort(key=lambda t: t[0])  # docID order across segments
+            ids = np.concatenate([s[1] for s in segs])
+            # slot = position in the sorted census: the accumulator is
+            # sized by n_docs, not max doc_id — sparse id spaces (e.g.
+            # chunked corpora at CHUNK_ID_BASE ≈ 1e9) stay O(n_docs)
+            srv.term_post[term] = _TermPostings(
+                ids,
+                np.searchsorted(srv.all_doc_ids, ids),
+                np.concatenate([s[2] for s in segs]),
+            )
         return srv
 
     def query(self, query_text: str, k: int) -> list[tuple[int, float]]:
@@ -117,8 +124,11 @@ class LocalIndexServer:
         # dense scatter-add accumulation: per doc the additions happen
         # in ascending term order (same fold as the WAND kernel →
         # bit-identical scores), but each term costs O(postings)
-        # instead of an O(n log n) candidate re-sort.
-        size = int(self.all_doc_ids[-1]) + 1 if len(self.all_doc_ids) else 0
+        # instead of an O(n log n) candidate re-sort.  The accumulator
+        # is slot-indexed (position in the sorted doc-id census) so
+        # sparse id spaces — chunked corpora at CHUNK_ID_BASE ≈ 1e9 —
+        # cost O(n_docs), not O(max_id).
+        size = len(self.all_doc_ids)
         score = np.zeros(size, dtype=np.float64)
         matched = np.zeros(size, dtype=bool)
         for t in sorted(qtf):  # == term_id order (lexical dictionary)
@@ -127,10 +137,10 @@ class LocalIndexServer:
             if tp is None or idf == 0.0:
                 continue
             w = float(qtf[t]) * idf
-            score[tp.doc_ids] += w * tp.contribs  # doc_ids unique per term
-            matched[tp.doc_ids] = True
-        cand_ids = np.flatnonzero(matched)
-        cand_ms = score[cand_ids]
+            score[tp.slots] += w * tp.contribs  # doc_ids unique per term
+            matched[tp.slots] = True
+        cand_ids = self.all_doc_ids[matched]
+        cand_ms = score[matched]
 
         n = len(cand_ids)
         # δ-padding: unmatched docs score exactly qconst, and only the
@@ -165,3 +175,20 @@ class LocalIndexServer:
         order = np.lexsort((cand_ids, cand_scores))
         sel = order[-k_loc:][::-1]
         return [(int(cand_ids[i]), float(cand_scores[i])) for i in sel]
+
+    def query_parents(self, query_text: str, k: int) -> list[int]:
+        """Top-k over a chunked-corpus index (operators.chunk.
+        chunked_corpus id space) with the reference's sub-id strip +
+        keep-first dedup (/root/reference/src/utils.py:169-183): parent
+        doc_ids in rank order — the serving-mode twin of
+        operators.chunk.parent_dedup."""
+        from ..operators.chunk import CHUNK_ID_BASE
+
+        out: list[int] = []
+        for doc_id, _score in self.query(query_text, k):
+            parent = (
+                (doc_id - CHUNK_ID_BASE) // 16 if doc_id >= CHUNK_ID_BASE else doc_id
+            )
+            if parent not in out:
+                out.append(parent)
+        return out

@@ -438,12 +438,27 @@ def query_topk(
     # unmatched docs all score exactly qconst; reference argsort puts
     # higher docIDs first among ties → the k highest unmatched ids are
     # the only pad candidates that can ever appear in the top k.
+    # Those k ids live inside the global top-(k + m) doc_ids, where m
+    # bounds the query's matched docs within that prefix — so the pad
+    # branch crosses a POOL of that size, never the full docstats
+    # (which would be Q×D when every query pads, e.g. negative-ε).
+    # Deficit mode: n_matched < k, so top-(2k−1) always suffices.
+    # Negative-weight mode: m ≤ max matched rows over pad queries (one
+    # tiny agg over the cached kernel output); if that pool would reach
+    # the whole corpus, fall back to the unsorted full table.
     all_matched = local.select("qid", "doc_id")
+    if negative_weights:
+        max_matched = need.agg(F.max("n_matched")).collect()[0][0] or 0
+        pool_n = k + int(max_matched)
+    else:
+        pool_n = 2 * k - 1
+    doc_pool = index.docstats().select("doc_id")
+    n_docs_total = index.manifest.get("n_docs")
+    if n_docs_total is None or pool_n < int(n_docs_total):
+        doc_pool = doc_pool.orderBy(F.desc("doc_id")).limit(pool_n)
     w2 = Window.partitionBy("qid").orderBy(F.desc("doc_id"))
     pads = (
-        index.docstats()
-        .select("doc_id")
-        .crossJoin(F.broadcast(pad_queries))
+        doc_pool.crossJoin(F.broadcast(pad_queries))
         .join(all_matched, ["qid", "doc_id"], "left_anti")
         .withColumn("r2", F.row_number().over(w2))
         .filter(F.col("r2") <= k)

@@ -106,6 +106,30 @@ FROM ({chunk_documents_sql(table, size, stride, text_col)})
 """
 
 
+def parent_dedup(hits: DataFrame) -> DataFrame:
+    """P9 + J4 on chunked-corpus hits: map chunk ids back to parents and
+    keep-first dedup, re-ranking by first appearance — the reference's
+    ``evaluate_idx`` sub-id strip + dedup
+    (/root/reference/src/utils.py:169-183,416,478).  ``hits`` is
+    (query_id, doc_id, rank) over a :func:`chunked_corpus` id space."""
+    from pyspark.sql import Window
+
+    parents = hits.select(
+        "query_id",
+        F.expr(
+            f"CASE WHEN doc_id >= {CHUNK_ID_BASE} "
+            f"THEN CAST(floor((doc_id - {CHUNK_ID_BASE}) / 16) AS BIGINT) ELSE doc_id END"
+        ).alias("doc_id"),
+        F.col("rank").alias("pos"),
+    )
+    first = parents.groupBy("query_id", "doc_id").agg(F.min("pos").alias("pos"))
+    w = Window.partitionBy("query_id").orderBy("pos")
+    return (
+        first.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "doc_id", "rank")
+    )
+
+
 def bm25_chunked_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -121,26 +145,68 @@ def bm25_chunked_topk(
     retrieval configuration (P5 + J2 + P9 composed;
     /root/reference/src/utils.py:263 index build over sub-articles,
     :169-183 evaluate_idx strips sub ids and dedups)."""
-    from pyspark.sql import Window
-
     from .bm25 import bm25_topk
 
     corpus = chunked_corpus(docs, size, stride, text_col)
     hits = bm25_topk(corpus, queries, params, k, score_round=score_round)
-    parents = hits.select(
-        "query_id",
-        F.expr(
-            f"CASE WHEN doc_id >= {CHUNK_ID_BASE} "
-            f"THEN CAST(floor((doc_id - {CHUNK_ID_BASE}) / 16) AS BIGINT) ELSE doc_id END"
-        ).alias("doc_id"),
-        F.col("rank").alias("pos"),
+    return parent_dedup(hits)
+
+
+def build_chunked_index(
+    spark,
+    docs: DataFrame,
+    out_dir: str,
+    params,
+    size: int = 100,
+    stride: int = 50,
+    text_col: str = "content",
+    segment_doc_window: int = 1 << 14,
+):
+    """Build (resume-aware) a packed posting index over the docs ∪
+    chunks corpus — the reference's actual retrieval configuration
+    served by the WAND/serving engine instead of the relational scorer.
+    Chunk ids live at CHUNK_ID_BASE + parent·16 + sub, so posting
+    segments stay docID-range-aligned (sparse segments are fine: the
+    builder keys segments by id range, not by a dense census)."""
+    from ..config import IndexParams
+    from ..index.builder import build_index
+    from ..index.wand import FulltextIndex
+
+    corpus = chunked_corpus(docs, size, stride, text_col)
+    paths = build_index(
+        spark,
+        corpus,
+        out_dir,
+        IndexParams(segment_doc_window=segment_doc_window, bm25=params),
     )
-    first = parents.groupBy("query_id", "doc_id").agg(F.min("pos").alias("pos"))
-    w = Window.partitionBy("query_id").orderBy("pos")
-    return (
-        first.withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("query_id", "doc_id", "rank")
+    return FulltextIndex.load(spark, paths.root)
+
+
+def bm25_chunked_topk_indexed(
+    spark,
+    docs: DataFrame,
+    queries: DataFrame,
+    params,
+    k: int,
+    out_dir: str,
+    size: int = 100,
+    stride: int = 50,
+    text_col: str = "content",
+) -> DataFrame:
+    """:func:`bm25_chunked_topk` served from the packed index: block-max
+    WAND over the docs ∪ chunks corpus (bit-identical scores to the
+    relational scorer — tests/test_chunked_index.py), then the same
+    chunk→parent keep-first dedup.  Same DuckDB oracle as the
+    relational form."""
+    from ..index.wand import query_topk
+
+    index = build_chunked_index(
+        spark, docs, out_dir, params, size, stride, text_col
     )
+    hits = query_topk(index, queries, k=k, score_round=6).select(
+        "query_id", "doc_id", "rank"
+    )
+    return parent_dedup(hits)
 
 
 def bm25_chunked_topk_sql(

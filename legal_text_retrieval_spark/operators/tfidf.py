@@ -49,9 +49,14 @@ def _analyzed_sql(table: str, text_col: str, id_col: str, id_alias: str | None =
     )
 
 
-def tfidf_weights(docs: DataFrame, text_col: str = "content") -> DataFrame:
-    """(doc_id, term, w) — L2-normalized tf·idf (A6+A7)."""
-    n = docs.count()
+def tfidf_weights(
+    docs: DataFrame, text_col: str = "content", n_docs: int | None = None
+) -> DataFrame:
+    """(doc_id, term, w) — L2-normalized tf·idf (A6+A7).  ``n_docs``
+    lets callers that already know the corpus size skip the count job
+    (N must include token-less docs — sklearn counts every document,
+    so it cannot be derived from the analyzed relation)."""
+    n = docs.count() if n_docs is None else n_docs
     tf = _analyzed(docs, text_col, "doc_id")
     idf = (
         tf.groupBy("term")
@@ -102,6 +107,7 @@ def tfidf_cosine_matched(
     queries: DataFrame,
     text_col: str = "content",
     query_col: str = "query_text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score) for term-MATCHED pairs only (Q4 sparse
     kernel).  Every emitted score is strictly > 0: idf ≥ 1, so a doc or
@@ -112,8 +118,9 @@ def tfidf_cosine_matched(
 
     One ``_analyzed(docs)`` pass feeds df/idf, doc weights and the dot
     products (the fit and the transform share the scan; cached because
-    Catalyst does not share the subtree across its three consumers)."""
-    n = docs.count()
+    Catalyst does not share the subtree across its three consumers).
+    ``n_docs``: see tfidf_weights."""
+    n = docs.count() if n_docs is None else n_docs
     tfd = _analyzed(docs, text_col, "doc_id").cache()
     idf = (
         tfd.groupBy("term")

@@ -54,6 +54,24 @@ def write_mrpc_csv(pairs_hydrated: DataFrame, path: str) -> None:
     mrpc_rows(pairs_hydrated).write.mode("overwrite").option("header", True).csv(path)
 
 
+def cola_rows(labeled_queries: DataFrame) -> DataFrame:
+    """S7: CoLA-format training rows (sentence, label, id) with the
+    newline scrub — ``gen_cola_data``
+    (/root/reference/src/data_generator.py:126-137): one row per
+    labeled query, column order sentence,label,id (pandas dict
+    insertion order), written with header like the reference's
+    ``to_csv(index=False)``.  Input: (query_id, query_text, label)."""
+    return labeled_queries.select(
+        F.regexp_replace(F.col("query_text"), "\n", " ").alias("sentence"),
+        F.col("label").cast("long").alias("label"),
+        F.regexp_replace(F.col("query_id").cast("string"), "\n", " ").alias("id"),
+    )
+
+
+def write_cola_csv(labeled_queries: DataFrame, path: str) -> None:
+    cola_rows(labeled_queries).write.mode("overwrite").option("header", True).csv(path)
+
+
 def submission_rows(predictions: DataFrame) -> DataFrame:
     """S10 flat form: (question_id, law_id, article_id) — one row per
     predicted relevant article, parsed from the composite doc key

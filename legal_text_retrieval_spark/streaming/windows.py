@@ -78,7 +78,11 @@ def windowed_event_counts(
 _SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        # Σvalue in fixed-point 1e-4 units (the DECIMAL(18,4) rule from
+        # windowed_event_counts): integer addition is exact and
+        # order-independent, so replay/restart with different
+        # micro-batch boundaries cannot drift the running total
+        T.StructField("total_units", T.LongType()),
     ]
 )
 _SESSION_OUT_SCHEMA = T.StructType(
@@ -91,17 +95,23 @@ _SESSION_OUT_SCHEMA = T.StructType(
 
 
 def _session_fn(key, pdf_iter, state: GroupState):
-    """Running per-user aggregate: state carries (n, Σvalue) across
-    micro-batches; emits the updated running totals each batch."""
+    """Running per-user aggregate: state carries (n, Σvalue in 1e-4
+    fixed-point units) across micro-batches; emits the updated running
+    totals each batch.  Per-value quantization is HALF_UP at 4 dp —
+    the same rounding Spark's CAST(… AS DECIMAL(18,4)) applies in the
+    windowed twin."""
+    import numpy as np
     import pandas as pd
 
-    n, tot = state.get if state.exists else (0, 0.0)
+    n, units = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        tot += float(pdf["value"].sum())
-    state.update((n, tot))
+        v = pdf["value"].to_numpy(np.float64)
+        q = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5)
+        units += int(q.astype(np.int64).sum())
+    state.update((n, units))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [units / 1e4]}
     )
 
 

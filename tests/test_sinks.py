@@ -56,3 +56,26 @@ def test_predictions_tsv_roundtrip(spark, tmp_path):
     p.write_text("query_id\tdoc_id\tscore\nq1\t3\t0.5\n")
     got = read_predictions_tsv(spark, str(p)).collect()
     assert got[0].query_id == "q1" and got[0].doc_id == "3"
+
+
+def test_cola_rows_format(spark, tmp_path):
+    """S7: column order sentence,label,id with newline scrub + header
+    (gen_cola_data, /root/reference/src/data_generator.py:126-137)."""
+    from legal_text_retrieval_spark.sources.sinks import cola_rows, write_cola_csv
+
+    labeled = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": ["q1", "q2"], "query_text": ["a\nb", "ok"], "label": [1, 0]}
+        )
+    )
+    df = cola_rows(labeled)
+    assert df.columns == ["sentence", "label", "id"]
+    rows = {r.id: r for r in df.collect()}
+    assert rows["q1"].sentence == "a b" and rows["q1"].label == 1
+    assert rows["q2"].label == 0
+    out = tmp_path / "cola"
+    write_cola_csv(labeled, str(out))
+    csv_files = list(out.glob("*.csv"))
+    assert csv_files and any(
+        f.read_text().startswith("sentence,label,id") for f in csv_files
+    )
