@@ -335,6 +335,26 @@ def _q_ivf_recall(spark, sf_dir):
     return ivf_recall(_emb(spark, sf_dir))
 
 
+def _q_ivf_trained_centroids(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import (
+        ivf_trained_centroids_exploded,
+    )
+
+    return ivf_trained_centroids_exploded(_emb(spark, sf_dir))
+
+
+def _q_ivf_trained_topk(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import ivf_trained_topk
+
+    return ivf_trained_topk(_emb(spark, sf_dir))
+
+
+def _q_ivf_trained_recall(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.similarity import ivf_trained_recall
+
+    return ivf_trained_recall(_emb(spark, sf_dir))
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from legal_text_retrieval_spark.operators.similarity import near_dup_pairs
 
@@ -730,6 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assignments": _q_ivf_assignments,
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
+        "ivf_trained_centroids": _q_ivf_trained_centroids,
+        "ivf_trained_topk": _q_ivf_trained_topk,
+        "ivf_trained_recall": _q_ivf_trained_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "token_counts": _q_token_counts,
         "language_id": _q_language_id,
@@ -846,6 +869,9 @@ USING (query_id, doc_id) WHERE r2.hit IS NULL
         "ivf_assignments": SIM.ivf_assignments_sql("embeddings"),
         "ivf_topk": SIM.ivf_topk_sql("embeddings"),
         "ivf_recall": SIM.ivf_recall_sql("embeddings"),
+        "ivf_trained_centroids": SIM.ivf_trained_centroids_sql("embeddings"),
+        "ivf_trained_topk": SIM.ivf_trained_topk_sql("embeddings"),
+        "ivf_trained_recall": SIM.ivf_trained_recall_sql("embeddings"),
         "embedding_near_dup": SIM.near_dup_pairs_sql("embeddings"),
         "token_counts": TS.token_counts_sql("documents"),
         "language_id": TS.language_id_sql("documents"),

@@ -1,0 +1,108 @@
+"""ANN quality gates (VERDICT round-2 #3/#4): banded OR-amplified LSH
+reaches recall@5 ≥ 0.9 on clustered embeddings with a bounded candidate
+set (no single bucket widened), and Lloyd-trained IVF beats the stride
+quantizer at equal nprobe."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+DIM = 32
+N = 300
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Every query vector (vec_id % 50 == 0) has 5 planted neighbors at
+    cos ≈ 0.95 (ids q+1..q+5); the rest are i.i.d. gaussian — a
+    realistic near-dup / retrieval structure, unlike pure noise."""
+    rng = np.random.default_rng(99)
+    vecs = rng.normal(size=(N, DIM))
+    for q in range(0, N, 50):
+        base = vecs[q]
+        for j in range(1, 6):
+            vecs[q + j] = base + 0.22 * rng.normal(size=DIM)
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(N), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf).cache(), vecs
+
+
+def test_lsh_auto_rbits_sizing():
+    from legal_text_retrieval_spark.operators.similarity import lsh_auto_rbits
+
+    assert lsh_auto_rbits(500, target_bucket=16) == 5
+    assert lsh_auto_rbits(10**9, target_bucket=2048) == 19
+    assert lsh_auto_rbits(8, target_bucket=16) == 1
+    # occupancy n/2^r stays within [target/2, target] for any n
+    for n in (10**4, 10**6, 10**8):
+        r = lsh_auto_rbits(n, target_bucket=1024)
+        assert 512 <= n / 2**r <= 1024
+
+
+def test_banded_ann_recall_and_candidate_bound(spark, clustered_emb):
+    """recall@5 ≥ 0.9 via band count (OR-amplification), with the
+    candidate set bounded well below brute force — buckets stay at the
+    auto-sized occupancy, bands are the recall knob."""
+    from legal_text_retrieval_spark.operators.similarity import (
+        ann_candidates,
+        ann_recall,
+        lsh_auto_rbits,
+    )
+
+    df, _ = clustered_emb
+    rbits = lsh_auto_rbits(N, target_bucket=16)  # 5 bits → ~9/bucket
+    rec = ann_recall(df, k=5, nbands=8, rbits=rbits, dim=DIM).toPandas()
+    assert rec["recall"].mean() >= 0.9, rec
+
+    n_queries = len(rec)
+    n_cand = ann_candidates(df, nbands=8, rbits=rbits, dim=DIM).count()
+    frac = n_cand / (n_queries * (N - 1))
+    assert frac <= 0.35, frac  # vs 1.0 for brute force
+
+
+def test_trained_ivf_beats_stride(spark, clustered_emb):
+    """Lloyd-trained centroids ≥ stride-sampled centroids at equal
+    nprobe (VERDICT #4 'Done' criterion), and the training is
+    deterministic (two runs, identical bits)."""
+    from legal_text_retrieval_spark.operators.similarity import (
+        ivf_recall,
+        ivf_trained_centroids_exploded,
+        ivf_trained_recall,
+    )
+
+    df, _ = clustered_emb
+    stride = ivf_recall(df, k=5, nprobe=2).toPandas()["recall"].mean()
+    trained = ivf_trained_recall(df, k=5, nprobe=2).toPandas()["recall"].mean()
+    assert trained >= stride, (trained, stride)
+    assert trained > 0
+
+    c1 = ivf_trained_centroids_exploded(df, iters=2).toPandas()
+    c2 = ivf_trained_centroids_exploded(df, iters=2).toPandas()
+    key = ["centroid_id", "pos"]
+    c1 = c1.sort_values(key).reset_index(drop=True)
+    c2 = c2.sort_values(key).reset_index(drop=True)
+    assert (c1["v"].values.view("int64") == c2["v"].values.view("int64")).all()
+
+
+def test_trained_ivf_partitions_all_vectors(spark, clustered_emb):
+    """Every vector still lands in exactly one trained list, and probed
+    search stays exact within the probed lists."""
+    from legal_text_retrieval_spark.operators.similarity import (
+        _best_centroids,
+        cosine_topk,
+        ivf_trained_centroids,
+        ivf_trained_topk,
+    )
+
+    df, _ = clustered_emb
+    cents = ivf_trained_centroids(df, iters=2)
+    assign = _best_centroids(df, cents, 1, "vec_id", "embedding").toPandas()
+    assert len(assign) == N and assign["vec_id"].is_unique
+
+    exact = cosine_topk(df, k=N).toPandas()
+    approx = ivf_trained_topk(df, k=5, iters=2).toPandas()
+    merged = approx.merge(exact, on=["query_vec_id", "vec_id"], suffixes=("_a", "_e"))
+    assert len(merged) == len(approx)
+    assert (merged["cos_a"] == merged["cos_e"]).all()

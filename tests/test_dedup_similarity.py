@@ -174,7 +174,7 @@ def test_ann_lsh_is_bucketed_subset(spark):
     vecs = rng.normal(size=(200, 16)).astype(np.float32)
     pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
     df = spark.createDataFrame(pdf)
-    ann = ann_lsh_topk(df, k=5).toPandas()
+    ann = ann_lsh_topk(df, k=5, dim=16).toPandas()
     assert len(ann) > 0
     # every ANN hit's cos must equal the exact cos (it IS exact within bucket)
     exact = cosine_topk(df, k=200).toPandas()
@@ -236,7 +236,7 @@ def test_near_dup_pairs_bucketed_subset_and_recall(spark):
     pdf = pd.DataFrame({"vec_id": range(80), "embedding": [v.tolist() for v in vecs]})
     df = spark.createDataFrame(pdf)
 
-    bucketed = near_dup_pairs(df, threshold=0.5)
+    bucketed = near_dup_pairs(df, threshold=0.5, dim=16)
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
 
