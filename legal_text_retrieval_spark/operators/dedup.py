@@ -83,6 +83,7 @@ def dedup_ngram_jaccard(
     threshold: float = 0.04,
     text_col: str = "content",
     pairs: DataFrame | None = None,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) shingle Jaccard ≥ threshold.
 
@@ -92,8 +93,13 @@ def dedup_ngram_jaccard(
     LEFT-SEMI-joined to the candidate doc set, and pairs are restricted
     to ``pairs`` BEFORE the intersection aggregate — so the shuffle is
     proportional to candidate volume, never n².  This is the 100 TB
-    verify path used by dedup_minhash_lsh."""
-    sh = doc_shingles(docs, n, text_col)
+    verify path used by dedup_minhash_lsh.
+
+    ``_shingles`` lets a caller that already materialized the shingle
+    relation (dedup_minhash_lsh caches ONE pass for signatures + both
+    verify sides) avoid re-tokenizing the corpus — Catalyst does not
+    share the subtree across the plan's five consumers."""
+    sh = _shingles if _shingles is not None else doc_shingles(docs, n, text_col)
     sha, shb = sh, sh
     if pairs is not None:
         # semi-joins keep every shingle of a kept doc, so per-doc sizes
@@ -146,11 +152,15 @@ ORDER BY doc_a, doc_b
 """
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "content") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "content",
+    _shingles: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, mh0..mh{15}) MinHash signature from shingle hashes."""
-    sh = doc_shingles(docs, n, text_col).withColumn(
-        "h", md5_hash60(F.col("shingle")) % _P
-    )
+    base = _shingles if _shingles is not None else doc_shingles(docs, n, text_col)
+    sh = base.withColumn("h", md5_hash60(F.col("shingle")) % _P)
     aggs = [
         F.min(F.expr(f"({_A[i]} * h + {_B[i]}) % {_P}")).alias(f"mh{i}")
         for i in range(_NPERM)
@@ -166,19 +176,34 @@ def _signatures_sql(table: str, n: int, text_col: str) -> str:
     return f"SELECT doc_id, {mins} FROM ({_shingles_sql(table, n, text_col)}) GROUP BY doc_id"
 
 
-def dedup_minhash_lsh(
-    docs: DataFrame, n: int = 3, threshold: float = 0.04, text_col: str = "content"
-) -> DataFrame:
-    """(doc_a, doc_b, jaccard): banded-LSH candidates (8 bands × 2 rows)
-    verified with exact shingle Jaccard ≥ threshold.
+# band buckets larger than this are skipped at the candidate stage:
+# hot buckets are driven by globally common shingles dominating the
+# minhash minima (boilerplate), and Σ bucket² over them makes candidate
+# volume quadratic in n (measured: cand/n² constant at 8.5e-5 on the
+# zipf corpus without the cap — scripts/dedup_ann_bench.py).  With the
+# cap, candidates are ≤ n·bands·cap — LINEAR in n.  True near-dups
+# collide in several bands (E[hits] = bands·j² ≈ 3.7 at j=0.68), so
+# losing their hot-bucket collisions barely dents recall
+# (re-measured ≥0.98 on planted pairs; BASELINE.md round-3).
+_BUCKET_CAP = 64
 
-    The band join shuffles only (band, key, doc_id) rows, and the
-    verify step is CANDIDATE-BOUNDED in the Spark plan itself: shingles
-    are semi-joined to the candidate doc set and pairs restricted to
-    the candidate list before the intersection aggregate
-    (dedup_ngram_jaccard(pairs=cand)) — the n² shingle self-join never
-    executes, mirroring the DuckDB twin exactly."""
-    sig = minhash_signatures(docs, n, text_col)
+
+def minhash_band_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "content",
+    bucket_cap: int | None = _BUCKET_CAP,
+    _shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) distinct banded-LSH candidate pairs (8 bands × 2
+    signature rows per key), skipping band buckets with more than
+    ``bucket_cap`` docs (the stop-bucket heuristic — see _BUCKET_CAP).
+    Exposed so benchmarks can report candidate volume vs n²
+    (scripts/dedup_ann_bench.py)."""
+    # the band relation is consumed up to 4× (bucket census, semi-join,
+    # both sides of the pair join); cache the signature relation it
+    # derives from — n rows × 16 ints (session-lifetime cache policy)
+    sig = minhash_signatures(docs, n, text_col, _shingles).cache()
     bands = None
     for b in range(_BANDS):
         part = sig.select(
@@ -187,30 +212,75 @@ def dedup_minhash_lsh(
             F.concat_ws("_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("key"),
         )
         bands = part if bands is None else bands.unionByName(part)
-    cand = (
+    if bucket_cap is not None:
+        small = (
+            bands.groupBy("band", "key")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= bucket_cap)
+            .select("band", "key")
+        )
+        bands = bands.join(small, ["band", "key"], "left_semi")
+    return (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return dedup_ngram_jaccard(docs, n, threshold, text_col, pairs=cand).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.04,
+    text_col: str = "content",
+    bucket_cap: int | None = _BUCKET_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): banded-LSH candidates (8 bands × 2 rows,
+    stop-buckets above ``bucket_cap`` skipped) verified with exact
+    shingle Jaccard ≥ threshold.
+
+    The band join shuffles only (band, key, doc_id) rows, and the
+    verify step is CANDIDATE-BOUNDED in the Spark plan itself: shingles
+    are semi-joined to the candidate doc set and pairs restricted to
+    the candidate list before the intersection aggregate
+    (dedup_ngram_jaccard(pairs=cand)) — the n² shingle self-join never
+    executes, mirroring the DuckDB twin exactly.
+
+    The shingle relation is tokenized ONCE and cached (session-lifetime
+    cache policy, CLAUDE.md): signatures, both verify sides and both
+    size relations reuse it — without this the corpus is re-tokenized
+    five times per run (measured 5× wall-time at 200k docs)."""
+    sh = doc_shingles(docs, n, text_col).cache()
+    cand = minhash_band_candidates(docs, n, text_col, bucket_cap, _shingles=sh)
+    return dedup_ngram_jaccard(
+        docs, n, threshold, text_col, pairs=cand, _shingles=sh
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def dedup_minhash_lsh_sql(
-    table: str, n: int = 3, threshold: float = 0.04, text_col: str = "text"
+    table: str,
+    n: int = 3,
+    threshold: float = 0.04,
+    text_col: str = "text",
+    bucket_cap: int | None = _BUCKET_CAP,
 ) -> str:
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, mh{2 * b}::VARCHAR || '_' || mh{2 * b + 1}::VARCHAR AS key FROM sig"
         for b in range(_BANDS)
     )
+    cap_ctes = (
+        f"""
+small AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= {bucket_cap}),
+bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, key)),"""
+        if bucket_cap is not None
+        else "\nbands AS (SELECT * FROM bands0),"
+    )
     return f"""
 WITH sh AS ({_shingles_sql(table, n, text_col)}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 sig AS ({_signatures_sql(table, n, text_col)}),
-bands AS ({band_selects}),
+bands0 AS ({band_selects}),{cap_ctes}
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y USING (band, key) WHERE x.doc_id < y.doc_id),

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Scale evidence for the dedup / ANN suite (round-2 VERDICT #2): run
+dedup_minhash_lsh, dedup_keep, ann_lsh_topk and near_dup_pairs on
+200k/400k/800k synthetic corpora with PLANTED near-duplicates, and
+record wall-time, candidate volume vs n², and recall on the planted
+pairs (ground truth known by construction, so no O(n²) oracle run is
+needed at scale).
+
+Text corpora: make_corpus_fast(n) with every (100i, 100i+1) pair made a
+near-dup (every 16th token replaced → shingle Jaccard ≈ 0.6-0.75, above
+the 0.5 sweep threshold; banded hit prob 1-(1-j²)^8 ≥ 0.99).
+
+Embeddings: n unit gaussian vectors (dim 64, float32); every query
+vector (vec_id % 50 == 0) gets 5 planted neighbors at cos ≈ 0.98 —
+background max cos at n=800k is ≈ 0.65, so the planted set IS the true
+top-5.  rbits auto-sized (lsh_auto_rbits) so per-band buckets stay
+~16 vectors at every n; 8 bands.
+
+Usage:
+  python scripts/dedup_ann_bench.py [n1,n2,...]   (default 200000,400000,800000)
+Prints one JSON line per (op, n); appends nothing to BASELINE.md (copy
+the numbers there by hand with the round context).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+DIM = 64
+EVERY = 100  # plant one near-dup pair per EVERY docs
+
+
+def text_corpus(spark, n: int):
+    import numpy as np
+
+    from legal_text_retrieval_spark.fixtures import make_corpus_fast
+
+    path = f"/tmp/lts_dedup_bench_{n}.parquet"
+    if not Path(path + ".ok").exists():
+        pdf = make_corpus_fast(n)[["doc_id", "content"]]
+        # plant near-dups: doc 100i+1 := doc 100i with every 16th token swapped
+        src = pdf["content"].to_numpy()
+        for i in range(0, n - 1, EVERY):
+            toks = src[i].split(" ")
+            for j in range(3, len(toks), 16):
+                toks[j] = f"zm{j}"
+            src[i + 1] = " ".join(toks)
+        pdf["content"] = src
+        shutil.rmtree(path, ignore_errors=True)
+        Path(path).unlink(missing_ok=True)
+        pdf.to_parquet(path, index=False, row_group_size=20000)
+        Path(path + ".ok").write_text("ok")
+    return spark.read.parquet(path), {
+        (i, i + 1) for i in range(0, n - 1, EVERY)
+    }
+
+
+def emb_corpus(spark, n: int):
+    import numpy as np
+    import pandas as pd
+
+    path = f"/tmp/lts_ann_bench_{n}.parquet"
+    planted = {
+        (q, q + j) for q in range(0, n - 5, 50) for j in range(1, 6)
+    }
+    if not Path(path + ".ok").exists():
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(n, DIM))
+        for q in range(0, n - 5, 50):
+            for j in range(1, 6):
+                vecs[q + j] = vecs[q] + 0.22 * rng.normal(size=DIM)
+        vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
+        pdf = pd.DataFrame({"vec_id": range(n), "embedding": list(vecs)})
+        shutil.rmtree(path, ignore_errors=True)
+        Path(path).unlink(missing_ok=True)
+        pdf.to_parquet(path, index=False, row_group_size=20000)
+        Path(path + ".ok").write_text("ok")
+    return spark.read.parquet(path), planted
+
+
+def main(sizes: list[int]) -> None:
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.operators.dedup import (
+        dedup_keep,
+        dedup_minhash_lsh,
+        minhash_band_candidates,
+    )
+    from legal_text_retrieval_spark.operators.similarity import (
+        ann_candidates,
+        ann_lsh_topk,
+        lsh_auto_rbits,
+        near_dup_pairs,
+    )
+    from legal_text_retrieval_spark.session import get_spark
+
+    spark = get_spark(app_name="dedup-ann-bench", master="local[16]")
+
+    def emit(**kw):
+        print(json.dumps(kw), flush=True)
+
+    for n in sizes:
+        docs, planted = text_corpus(spark, n)
+        docs = docs.cache()
+        docs.count()
+
+        t0 = time.time()
+        found = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_minhash_lsh(docs, threshold=0.5).collect()
+        }
+        lsh_s = time.time() - t0
+        n_cand = minhash_band_candidates(docs).count()
+        # ground truth = planted pairs whose EXACT jaccard clears the
+        # threshold (short docs lose all shingles to one mutation and
+        # legitimately fall below it) — computed with the candidate-
+        # bounded kernel on just the planted list, cheap at any n
+        from legal_text_retrieval_spark.operators.dedup import dedup_ngram_jaccard
+
+        planted_df = spark.createDataFrame(
+            sorted(planted), ["doc_a", "doc_b"]
+        )
+        planted = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_ngram_jaccard(
+                docs, threshold=0.5, pairs=planted_df
+            ).collect()
+        }
+        emit(
+            op="dedup_minhash_lsh",
+            n=n,
+            seconds=round(lsh_s, 1),
+            pairs=len(found),
+            candidates=n_cand,
+            cand_vs_n2=round(n_cand / (n * (n - 1) / 2), 8),
+            planted=len(planted),
+            planted_recall=round(len(found & planted) / len(planted), 4),
+        )
+
+        t0 = time.time()
+        kept = dedup_keep(docs, threshold=0.5).count()
+        emit(op="dedup_keep", n=n, seconds=round(time.time() - t0, 1), kept=kept)
+        docs.unpersist()
+
+        emb, eplanted = emb_corpus(spark, n)
+        emb = emb.cache()
+        emb.count()
+        rbits = lsh_auto_rbits(n, target_bucket=16)
+        nq = len(range(0, n - 5, 50))
+
+        t0 = time.time()
+        hits = ann_lsh_topk(emb, k=5, nbands=8, rbits=rbits, dim=DIM).select(
+            "query_vec_id", "vec_id"
+        ).collect()
+        ann_s = time.time() - t0
+        got = {(r.query_vec_id, r.vec_id) for r in hits}
+        n_acand = ann_candidates(emb, nbands=8, rbits=rbits, dim=DIM).count()
+        emit(
+            op="ann_lsh_topk",
+            n=n,
+            queries=nq,
+            rbits=rbits,
+            seconds=round(ann_s, 1),
+            candidates=n_acand,
+            cand_vs_brute=round(n_acand / (nq * (n - 1)), 6),
+            planted=len(eplanted),
+            planted_recall=round(len(got & eplanted) / len(eplanted), 4),
+        )
+
+        t0 = time.time()
+        ndp = near_dup_pairs(emb, threshold=0.9, nbands=8, rbits=rbits, dim=DIM)
+        pair_rows = {(r.vec_a, r.vec_b) for r in ndp.collect()}
+        emit(
+            op="near_dup_pairs",
+            n=n,
+            seconds=round(time.time() - t0, 1),
+            pairs=len(pair_rows),
+            planted=len(eplanted),
+            planted_recall=round(
+                len(pair_rows & eplanted) / len(eplanted), 4
+            ),
+        )
+        emb.unpersist()
+        spark.catalog.clearCache()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sizes = (
+        [int(x) for x in sys.argv[1].split(",")]
+        if len(sys.argv) > 1
+        else [200_000, 400_000, 800_000]
+    )
+    main(sizes)

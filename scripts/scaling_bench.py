@@ -83,6 +83,10 @@ def run_one(cores: int, corpus: str, out_json: str) -> None:
     t0 = time.time()
     query_topk(index, q, k=10).count()
     query_s = time.time() - t0
+    query_topk(index, q, k=150).count()  # warm
+    t0 = time.time()
+    query_topk(index, q, k=150).count()
+    query150_s = time.time() - t0
 
     manifest = json.loads(Path(out_dir, "manifest.json").read_text())
     Path(out_json).write_text(
@@ -101,6 +105,7 @@ def run_one(cores: int, corpus: str, out_json: str) -> None:
                 "bytes_per_posting": manifest["bytes_per_posting"],
                 "skew_ratio_group": manifest["skew_ratio_group"],
                 "query_batch_seconds_k10_50q": round(query_s, 2),
+                "query_batch_seconds_k150_50q": round(query150_s, 2),
             }
         )
     )
