@@ -216,14 +216,18 @@ def lsh_band_signatures_sql(
 def ann_candidates(
     embeddings: DataFrame,
     nbands: int = _NBANDS,
-    rbits: int = _RBITS,
+    rbits: int | None = _RBITS,
     dim: int = _DIM,
 ) -> DataFrame:
     """(query_vec_id, vec_id) — distinct banded-LSH candidates: pairs
     sharing ANY band signature (OR-amplification: hit prob
     1-(1-s^r)^B).  The equi-join on (band, sig) keeps per-bucket work
     bounded by bucket size (≈ n/2^r per band) — no bucket is widened to
-    raise recall; bands are added instead (VERDICT round-2 #3)."""
+    raise recall; bands are added instead (VERDICT round-2 #3).
+    ``rbits=None`` auto-sizes from the corpus (lsh_auto_rbits: constant
+    bucket occupancy at any n; one cheap count job)."""
+    if rbits is None:
+        rbits = lsh_auto_rbits(embeddings.count())
     sig = lsh_band_signatures(embeddings, nbands, rbits, dim)
     q = sig.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_vec_id"), "band", "sig"
@@ -240,7 +244,7 @@ def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
     nbands: int = _NBANDS,
-    rbits: int = _RBITS,
+    rbits: int | None = _RBITS,
     dim: int = _DIM,
 ) -> DataFrame:
     """Approximate cosine top-k over banded-LSH candidates: exact

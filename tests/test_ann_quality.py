@@ -41,6 +41,18 @@ def test_lsh_auto_rbits_sizing():
         assert 512 <= n / 2**r <= 1024
 
 
+def test_ann_auto_rbits_path(spark, clustered_emb):
+    """rbits=None derives the band width from the corpus size and
+    returns a well-formed top-k."""
+    from legal_text_retrieval_spark.operators.similarity import ann_lsh_topk
+
+    df, _ = clustered_emb
+    got = ann_lsh_topk(df, k=3, rbits=None, dim=DIM).toPandas()
+    assert len(got) > 0
+    assert set(got.columns) == {"query_vec_id", "vec_id", "rank", "cos"}
+    assert got.groupby("query_vec_id")["rank"].max().max() <= 3
+
+
 def test_banded_ann_recall_and_candidate_bound(spark, clustered_emb):
     """recall@5 ≥ 0.9 via band count (OR-amplification), with the
     candidate set bounded well below brute force — buckets stay at the
