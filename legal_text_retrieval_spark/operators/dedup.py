@@ -89,11 +89,16 @@ def dedup_ngram_jaccard(
 
     With ``pairs=None`` this is the all-pairs exact kernel — the
     small-scale oracle.  With ``pairs`` (doc_a, doc_b), the whole plan
-    is candidate-bounded: each side of the shingle join is first
-    LEFT-SEMI-joined to the candidate doc set, and pairs are restricted
-    to ``pairs`` BEFORE the intersection aggregate — so the shuffle is
-    proportional to candidate volume, never n².  This is the 100 TB
-    verify path used by dedup_minhash_lsh.
+    is PAIR-FIRST: the candidate list drives the join (pairs → doc_a's
+    shingles → equi-join on (doc_b, shingle)), so intermediate volume
+    is candidates × shingles-per-doc — LINEAR in the candidate count.
+    The earlier form (shingle self-join semi-joined to candidate docs,
+    pair restriction after) was still quadratic on hot shingles: when
+    most docs appear in some candidate pair the semi-join keeps the
+    whole corpus and ``sh a JOIN sh b USING (shingle)`` emits Σ cnt²
+    rows per shingle (measured 4.2× wall going 200k→400k docs — the
+    quadratic verify, not the banded candidates, was the bottleneck).
+    This is the 100 TB verify path used by dedup_minhash_lsh.
 
     ``_shingles`` lets a caller that already materialized the shingle
     relation (dedup_minhash_lsh caches ONE pass for signatures + both
@@ -112,14 +117,28 @@ def dedup_ngram_jaccard(
         )
     sizes_a = sha.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sizes_b = shb.groupBy("doc_id").agg(F.count("*").alias("sz")) if pairs is not None else sizes_a
-    inter = (
-        sha.alias("a")
-        .join(shb.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+        # pair-first: candidates × |sh(doc_a)| rows, then a unique-key
+        # equi-join on (doc_id, shingle) — never a shingle-only join
+        inter = (
+            pairs.select("doc_a", "doc_b")
+            .join(sha.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+            .select("doc_a", "doc_b", F.col("a.shingle").alias("sh_a"))
+            .alias("l")
+            .join(
+                shb.alias("b"),
+                (F.col("l.doc_b") == F.col("b.doc_id"))
+                & (F.col("l.sh_a") == F.col("b.shingle")),
+            )
+            .select("doc_a", "doc_b")
+        )
+    else:
+        inter = (
+            sha.alias("a")
+            .join(shb.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
     inter = inter.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     return (
         inter.join(sizes_a.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
@@ -241,11 +260,11 @@ def dedup_minhash_lsh(
     shingle Jaccard ≥ threshold.
 
     The band join shuffles only (band, key, doc_id) rows, and the
-    verify step is CANDIDATE-BOUNDED in the Spark plan itself: shingles
-    are semi-joined to the candidate doc set and pairs restricted to
-    the candidate list before the intersection aggregate
-    (dedup_ngram_jaccard(pairs=cand)) — the n² shingle self-join never
-    executes, mirroring the DuckDB twin exactly.
+    verify step is CANDIDATE-BOUNDED in the Spark plan itself: the
+    candidate pair list drives the intersection join
+    (dedup_ngram_jaccard(pairs=cand), pair-first) — no shingle-only
+    join ever executes, so verify cost is candidates × shingles-per-doc
+    regardless of shingle hotness, mirroring the DuckDB twin exactly.
 
     The shingle relation is tokenized ONCE and cached (session-lifetime
     cache policy, CLAUDE.md): signatures, both verify sides and both
@@ -285,9 +304,10 @@ cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y USING (band, key) WHERE x.doc_id < y.doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b USING (shingle)
-  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+  SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.doc_a
+  JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT doc_a, doc_b,
