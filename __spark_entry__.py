@@ -143,6 +143,30 @@ def _q_bm25okapi_topk_indexed(spark, sf_dir):
     return query_topk(index, C.derived_queries(docs), k=_K, score_round=6)
 
 
+def _q_bm25_merged_topk(spark, sf_dir):
+    """Split the corpus by doc_id parity, build a packed index per
+    half, MERGE them (index/merge.py: term-dict realignment, block-max
+    recompute vs the union avgdl, shared-segment decode-merge) and
+    serve the standard query batch from the merged index.  Same DuckDB
+    oracle as bm25plus_topk — the gate proves merged == rebuilt."""
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.config import IndexParams
+    from legal_text_retrieval_spark.index.builder import build_index
+    from legal_text_retrieval_spark.index.merge import merge_indexes
+    from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    base = f"/tmp/lts_index_v2_merged/{Path(sf_dir.rstrip('/')).name}"
+    docs = _docs(spark, sf_dir)
+    params = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
+    pa = build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), f"{base}/even", params)
+    pb = build_index(spark, docs.filter(F.col("doc_id") % 2 == 1), f"{base}/odd", params)
+    merged = merge_indexes(spark, pa.root, pb.root, f"{base}/merged")
+    index = FulltextIndex.load(spark, merged.root)
+    return query_topk(index, C.derived_queries(docs), k=_K, score_round=6)
+
+
 def _q_tfidf_weights(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -730,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25okapi_topk": _q_bm25okapi_topk,
         "bm25plus_topk_indexed": _q_bm25plus_topk_indexed,
         "bm25okapi_topk_indexed": _q_bm25okapi_topk_indexed,
+        "bm25_merged_topk": _q_bm25_merged_topk,
         "tfidf_weights": _q_tfidf_weights,
         "tfidf_cosine_topk": _q_tfidf_cosine_topk,
         "combine_weighted_topk": _q_combine_weighted_topk,
@@ -821,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25okapi_topk": B.bm25_topk_sql("documents", qsql, _OKAPI, _K),
         "bm25plus_topk_indexed": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
         "bm25okapi_topk_indexed": B.bm25_topk_sql("documents", qsql, _OKAPI, _K),
+        "bm25_merged_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
         "tfidf_weights": TF.tfidf_weights_sql("documents"),
         "tfidf_cosine_topk": TF.tfidf_cosine_topk_sql("documents", qsql, _K),
         "combine_weighted_topk": CB.combine_weighted_topk_sql(

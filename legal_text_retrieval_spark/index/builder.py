@@ -221,6 +221,101 @@ def _make_pack_fn(params: IndexParams, avgdl: float):
     return pack
 
 
+def dictionary_from_dfreq(
+    dfreq: DataFrame,
+    n_docs: int,
+    params: IndexParams,
+    total_tokens: int,
+    out_dir: str,
+) -> DataFrame:
+    """(term, df) → (term, df, idf, term_id): variant idf (okapi with
+    the md5-bucketed ε-fold) + dense lexical term_id.  Shared by the
+    full build and by index merge (merge recomputes idf from summed
+    df + combined n_docs, so merged == rebuilt bit-for-bit)."""
+    if params.bm25.variant == "plus":
+        idf = dfreq.withColumn("idf", F.expr(f"ln(CAST({n_docs + 1} AS DOUBLE) / df)"))
+    else:
+        raw = dfreq.withColumn(
+            "idf0",
+            F.expr(
+                f"ln(CAST({n_docs} - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+                f"- ln(df + CAST(0.5 AS DOUBLE))"
+            ),
+        )
+        from ..operators.bm25 import _ordered_mean_idf0
+
+        eps = params.bm25.epsilon * _ordered_mean_idf0(raw)
+        idf = raw.withColumn(
+            "idf", F.expr(f"CASE WHEN idf0 < 0 THEN CAST({eps!r} AS DOUBLE) ELSE idf0 END")
+        ).drop("idf0")
+    # vocab ≤ total_tokens, already measured by the docstats stage:
+    # small corpora skip the auto-mode probe job entirely
+    distributed = False if total_tokens <= DISTRIBUTED_TERMID_THRESHOLD else None
+    return assign_term_ids(
+        idf, distributed=distributed, materialize_path=f"{out_dir}/_termid_ranged"
+    )
+
+
+def write_lineage_and_metrics(
+    spark: SparkSession, paths: IndexPaths, manifest: dict, resume: bool = True
+) -> None:
+    """Lineage + metrics over the packed postings table (north_rule:
+    postings/sec, bytes, skew ratio, per-partition records) and the
+    final manifest write.  Shared by build and merge."""
+    postings = spark.read.parquet(paths.postings)
+    if not (resume and _done(paths.lineage)):
+        postings.groupBy("term_id").agg(
+            F.sum("n_docs").alias("postings"),
+            F.sum("enc_bytes").alias("bytes"),
+            F.count("*").alias("segments"),
+        ).write.mode("overwrite").parquet(paths.lineage)
+    if not (resume and _done(paths.lineage_partitions)):
+        # per shuffle-partition record of the pack stage: which worker
+        # partition produced how many groups/postings/bytes
+        postings.groupBy("build_part").agg(
+            F.count("*").alias("groups"),
+            F.sum("n_docs").alias("postings"),
+            F.sum("enc_bytes").alias("bytes"),
+            F.min("term_id").alias("first_term_id"),
+            F.max("term_id").alias("last_term_id"),
+        ).write.mode("overwrite").parquet(paths.lineage_partitions)
+    lineage = spark.read.parquet(paths.lineage)
+    # one combined metrics job over the (small) packed-postings table
+    agg = postings.agg(
+        F.sum("n_docs"),
+        F.sum("enc_bytes"),
+        F.max("n_docs"),
+        F.avg("n_docs"),
+        F.countDistinct("term_id"),
+    ).collect()[0]
+    total_postings, total_bytes, max_group, mean_group, vocab = agg
+    term_agg = lineage.agg(F.max("postings"), F.avg("postings")).collect()[0]
+    max_term_postings, mean_term_postings = term_agg
+    build_secs = sum(s.get("seconds", 0) for s in manifest["stages"].values())
+    n_docs = manifest["n_docs"]
+    manifest.update(
+        {
+            "vocab_size": int(vocab),
+            "total_postings": int(total_postings),
+            "bytes_compressed": int(total_bytes),
+            "bytes_per_posting": round(total_bytes / max(1, total_postings), 3),
+            # skew before segment-salting (per-term posting-list sizes) vs
+            # after (per-shuffle-group sizes, hard-bounded by the window)
+            "skew_ratio_term": round(max_term_postings / max(1e-9, mean_term_postings), 2),
+            "skew_ratio_group": round(max_group / max(1e-9, mean_group), 2),
+            "max_term_postings": int(max_term_postings),
+            "max_group_postings": int(max_group),
+            "build_seconds": round(build_secs, 3),
+            "n_build_partitions": int(
+                spark.read.parquet(paths.lineage_partitions).count()
+            ),
+            "docs_per_sec": round(n_docs / max(1e-9, build_secs), 1),
+            "postings_per_sec": round(total_postings / max(1e-9, build_secs), 1),
+        }
+    )
+    Path(paths.manifest).write_text(json.dumps(manifest, indent=2))
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -301,34 +396,17 @@ def build_index(
     manifest["avgdl"] = avgdl
 
     # -- stage: dictionary (term → dense term_id in lexical order + df + idf)
-    def make_dictionary():
-        dfreq = termfreq.groupBy("term").agg(F.count("*").alias("df"))
-        if params.bm25.variant == "plus":
-            idf = dfreq.withColumn("idf", F.expr(f"ln(CAST({n_docs + 1} AS DOUBLE) / df)"))
-        else:
-            raw = dfreq.withColumn(
-                "idf0",
-                F.expr(
-                    f"ln(CAST({n_docs} - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
-                    f"- ln(df + CAST(0.5 AS DOUBLE))"
-                ),
-            )
-            from ..operators.bm25 import _ordered_mean_idf0
-
-            eps = params.bm25.epsilon * _ordered_mean_idf0(raw)
-            idf = raw.withColumn(
-                "idf", F.expr(f"CASE WHEN idf0 < 0 THEN CAST({eps!r} AS DOUBLE) ELSE idf0 END")
-            ).drop("idf0")
-        # vocab ≤ total_tokens, already measured by the docstats stage:
-        # small corpora skip the auto-mode probe job entirely
-        distributed = (
-            False if total_tokens <= DISTRIBUTED_TERMID_THRESHOLD else None
-        )
-        return assign_term_ids(
-            idf, distributed=distributed, materialize_path=f"{out_dir}/_termid_ranged"
-        )
-
-    dictionary = stage("dictionary", paths.dictionary, make_dictionary)
+    dictionary = stage(
+        "dictionary",
+        paths.dictionary,
+        lambda: dictionary_from_dfreq(
+            termfreq.groupBy("term").agg(F.count("*").alias("df")),
+            n_docs,
+            params,
+            total_tokens,
+            out_dir,
+        ),
+    )
     # min_idf < 0 (okapi negative eps floor) invalidates WAND's
     # block-max bounds — recorded so the query path can refuse loudly
     manifest["min_idf"] = float(dictionary.agg(F.min("idf")).collect()[0][0])
@@ -355,63 +433,11 @@ def build_index(
             max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
         ).sortWithinPartitions("term_id", "seg_id")
 
-    t0 = time.time()
-    postings = stage("postings", paths.postings, make_postings)
+    stage("postings", paths.postings, make_postings)
 
     # -- lineage + metrics (north_rule: postings/sec, bytes, skew ratio,
     # per-partition records)
-    if not (resume and _done(paths.lineage)):
-        lineage = postings.groupBy("term_id").agg(
-            F.sum("n_docs").alias("postings"),
-            F.sum("enc_bytes").alias("bytes"),
-            F.count("*").alias("segments"),
-        )
-        lineage.write.mode("overwrite").parquet(paths.lineage)
-    if not (resume and _done(paths.lineage_partitions)):
-        # per shuffle-partition record of the pack stage: which worker
-        # partition produced how many groups/postings/bytes
-        postings.groupBy("build_part").agg(
-            F.count("*").alias("groups"),
-            F.sum("n_docs").alias("postings"),
-            F.sum("enc_bytes").alias("bytes"),
-            F.min("term_id").alias("first_term_id"),
-            F.max("term_id").alias("last_term_id"),
-        ).write.mode("overwrite").parquet(paths.lineage_partitions)
-    lineage = spark.read.parquet(paths.lineage)
-    # one combined metrics job over the (small) packed-postings table
-    agg = postings.agg(
-        F.sum("n_docs"),
-        F.sum("enc_bytes"),
-        F.max("n_docs"),
-        F.avg("n_docs"),
-        F.countDistinct("term_id"),
-    ).collect()[0]
-    total_postings, total_bytes, max_group, mean_group, vocab = agg
-    term_agg = lineage.agg(F.max("postings"), F.avg("postings")).collect()[0]
-    max_term_postings, mean_term_postings = term_agg
-    seg_agg = (max_group, mean_group)
-    build_secs = sum(s.get("seconds", 0) for s in manifest["stages"].values())
-    manifest.update(
-        {
-            "vocab_size": int(vocab),
-            "total_postings": int(total_postings),
-            "bytes_compressed": int(total_bytes),
-            "bytes_per_posting": round(total_bytes / max(1, total_postings), 3),
-            # skew before segment-salting (per-term posting-list sizes) vs
-            # after (per-shuffle-group sizes, hard-bounded by the window)
-            "skew_ratio_term": round(max_term_postings / max(1e-9, mean_term_postings), 2),
-            "skew_ratio_group": round(seg_agg[0] / max(1e-9, seg_agg[1]), 2),
-            "max_term_postings": int(max_term_postings),
-            "max_group_postings": int(seg_agg[0]),
-            "build_seconds": round(build_secs, 3),
-            "n_build_partitions": int(
-                spark.read.parquet(paths.lineage_partitions).count()
-            ),
-            "docs_per_sec": round(n_docs / max(1e-9, build_secs), 1),
-            "postings_per_sec": round(total_postings / max(1e-9, build_secs), 1),
-        }
-    )
-    Path(paths.manifest).write_text(json.dumps(manifest, indent=2))
+    write_lineage_and_metrics(spark, paths, manifest, resume)
     return paths
 
 
