@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Merge-vs-rebuild evidence (north_rule: posting-list merge): build
+two half-corpus indexes, then time (a) a fresh build over the union
+corpus vs (b) merge_indexes over the halves, and verify the merged
+manifest matches the rebuilt one.  Prints one JSON line.
+
+Usage: python scripts/merge_bench.py [n_docs] [cores]   (default 400000 16)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(n_docs: int, cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.config import IndexParams, NORTH_STAR_BM25
+    from legal_text_retrieval_spark.fixtures import make_corpus_fast
+    from legal_text_retrieval_spark.index.builder import build_index
+    from legal_text_retrieval_spark.index.merge import merge_indexes
+    from legal_text_retrieval_spark.session import get_spark
+
+    corpus = f"/tmp/lts_merge_bench_{n_docs}.parquet"
+    if not Path(corpus + ".ok").exists():
+        pdf = make_corpus_fast(n_docs)
+        shutil.rmtree(corpus, ignore_errors=True)
+        Path(corpus).unlink(missing_ok=True)
+        pdf.to_parquet(corpus, index=False, row_group_size=20000)
+        Path(corpus + ".ok").write_text("ok")
+
+    spark = get_spark(app_name="merge-bench", master=f"local[{cores}]")
+    docs = spark.read.parquet(corpus)
+    params = IndexParams(segment_doc_window=1 << 15, bm25=NORTH_STAR_BM25)
+    root = tempfile.mkdtemp(prefix="lts_merge_bench_")
+
+    def timed(fn):
+        t0 = time.time()
+        out = fn()
+        return out, time.time() - t0
+
+    # halves (parity split: every segment shared → worst-case merge)
+    pa, build_a_s = timed(
+        lambda: build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), f"{root}/a", params, resume=False)
+    )
+    pb, build_b_s = timed(
+        lambda: build_index(spark, docs.filter(F.col("doc_id") % 2 == 1), f"{root}/b", params, resume=False)
+    )
+    direct, rebuild_s = timed(
+        lambda: build_index(spark, docs, f"{root}/direct", params, resume=False)
+    )
+    merged, merge_s = timed(
+        lambda: merge_indexes(spark, pa.root, pb.root, f"{root}/merged", resume=False)
+    )
+
+    md = json.loads(Path(direct.manifest).read_text())
+    mm = json.loads(Path(merged.manifest).read_text())
+    parity = all(
+        mm[k] == md[k]
+        for k in ("n_docs", "total_tokens", "avgdl", "min_idf", "vocab_size",
+                  "total_postings", "bytes_compressed")
+    )
+    print(json.dumps({
+        "n_docs": n_docs,
+        "cores": cores,
+        "build_half_seconds": [round(build_a_s, 1), round(build_b_s, 1)],
+        "rebuild_seconds": round(rebuild_s, 1),
+        "merge_seconds": round(merge_s, 1),
+        "merge_vs_rebuild": round(merge_s / rebuild_s, 3),
+        "manifest_parity": parity,
+        "total_postings": mm["total_postings"],
+    }))
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    main(n, c)
