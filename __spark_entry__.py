@@ -167,6 +167,30 @@ def _q_bm25_merged_topk(spark, sf_dir):
     return query_topk(index, C.derived_queries(docs), k=_K, score_round=6)
 
 
+def _q_bm25_deleted_topk(spark, sf_dir):
+    """Build the full packed index, DELETE every 5th doc from it
+    (index/delete.py: map-only repack, dictionary re-rank with
+    vanished terms dropped, maxima vs the post-delete avgdl) and serve
+    the standard query batch — the oracle scores a corpus with those
+    docs absent, proving deleted == rebuilt in the gate."""
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.index.delete import delete_docs
+    from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    base = f"/tmp/lts_index_v2_deleted/{Path(sf_dir.rstrip('/')).name}"
+    docs = _docs(spark, sf_dir)
+    full = build_or_load_index(spark, sf_dir)
+    doomed = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()
+    ]
+    out = delete_docs(spark, full.paths.root, doomed, base)
+    index = FulltextIndex.load(spark, out.root)
+    return query_topk(index, C.derived_queries(docs), k=_K, score_round=6)
+
+
 def _q_tfidf_weights(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -755,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25plus_topk_indexed": _q_bm25plus_topk_indexed,
         "bm25okapi_topk_indexed": _q_bm25okapi_topk_indexed,
         "bm25_merged_topk": _q_bm25_merged_topk,
+        "bm25_deleted_topk": _q_bm25_deleted_topk,
         "tfidf_weights": _q_tfidf_weights,
         "tfidf_cosine_topk": _q_tfidf_cosine_topk,
         "combine_weighted_topk": _q_combine_weighted_topk,
@@ -847,6 +872,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25plus_topk_indexed": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
         "bm25okapi_topk_indexed": B.bm25_topk_sql("documents", qsql, _OKAPI, _K),
         "bm25_merged_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
+        "bm25_deleted_topk": B.bm25_topk_sql(
+            "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+            qsql,
+            NORTH_STAR_BM25,
+            _K,
+        ),
         "tfidf_weights": TF.tfidf_weights_sql("documents"),
         "tfidf_cosine_topk": TF.tfidf_cosine_topk_sql("documents", qsql, _K),
         "combine_weighted_topk": CB.combine_weighted_topk_sql(

@@ -1,0 +1,78 @@
+"""Index DELETE gate: removing a doc batch from a packed index must
+reproduce a fresh build over the surviving corpus bit-for-bit —
+dictionary (incl. vanished terms and reassigned lexical term_ids),
+packed posting bytes, maxima vs the post-delete avgdl, manifest stats,
+and WAND query scores."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from legal_text_retrieval_spark.config import BM25Params, IndexParams
+from legal_text_retrieval_spark.index import builder, wand
+from legal_text_retrieval_spark.index.delete import delete_docs
+
+from test_index_merge import _dict_pdf, _postings_pdf
+
+PARAMS = IndexParams(block_size=16, segment_doc_window=64, bm25=BM25Params(k1=1.2))
+OKAPI = IndexParams(block_size=16, segment_doc_window=64,
+                    bm25=BM25Params(k1=1.2, variant="okapi"))
+
+
+def _delete_and_compare(spark, tiny_docs, tmp, params, deleted):
+    full = builder.build_index(spark, tiny_docs, str(tmp / "full"), params)
+    survivors = tiny_docs.filter(~F.col("doc_id").isin(deleted))
+    direct = builder.build_index(spark, survivors, str(tmp / "direct"), params)
+    out = delete_docs(spark, full.root, deleted, str(tmp / "deleted"))
+
+    da, dd = _dict_pdf(spark, out), _dict_pdf(spark, direct)
+    pd.testing.assert_frame_equal(da[sorted(da.columns)], dd[sorted(dd.columns)])
+    pd.testing.assert_frame_equal(_postings_pdf(spark, out), _postings_pdf(spark, direct))
+
+    mo = json.loads(Path(out.manifest).read_text())
+    md = json.loads(Path(direct.manifest).read_text())
+    for key in ("n_docs", "total_tokens", "avgdl", "min_idf", "vocab_size",
+                "total_postings", "bytes_compressed"):
+        assert mo[key] == md[key], key
+    assert mo["n_deleted"] == len(deleted)
+    return out, direct
+
+
+def test_delete_parity_scattered(spark, tiny_docs, tiny_queries, tmp_path):
+    """Scattered deletes across segments; queries over the deleted
+    index must be bit-identical to the rebuilt index's."""
+    deleted = [3, 7, 64, 65, 130, 199]
+    out, direct = _delete_and_compare(spark, tiny_docs, tmp_path, PARAMS, deleted)
+    got = (
+        wand.query_topk(wand.FulltextIndex.load(spark, out.root), tiny_queries, k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        wand.query_topk(wand.FulltextIndex.load(spark, direct.root), tiny_queries, k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert not set(deleted) & set(got["doc_id"])
+
+
+def test_delete_parity_vanished_terms(spark, tiny_docs, tmp_path):
+    """Deleting a whole docID block empties some terms — the vocab
+    must shrink and term_ids re-rank exactly as a rebuild's."""
+    deleted = list(range(0, 50))
+    _delete_and_compare(spark, tiny_docs, tmp_path, PARAMS, deleted)
+
+
+def test_delete_parity_okapi(spark, tiny_docs, tmp_path):
+    """Okapi ε refloors from the post-delete (term, df) relation."""
+    _delete_and_compare(spark, tiny_docs, tmp_path, OKAPI, [1, 2, 3, 100, 101])
+
+
+def test_delete_everything_refused(spark, tiny_docs, tmp_path):
+    full = builder.build_index(spark, tiny_docs, str(tmp_path / "full"), PARAMS)
+    with pytest.raises(ValueError, match="every document"):
+        delete_docs(spark, full.root, list(range(200)), str(tmp_path / "d"))
