@@ -104,16 +104,7 @@ def start_incremental(
     )
 
 
-def compact(spark: SparkSession, index_root: str, params: IndexParams, text_col: str = "content"):
-    """Full-exactness restore: rebuild global stats + idf + repack all
-    segments from the accumulated docs (a batch build over the union).
-    Returns the refreshed IndexPaths."""
-    from ..index.builder import build_index
-
-    paths = IndexPaths(index_root)
-    docs = spark.read.parquet(paths.docs).select("doc_id", text_col)
-    tmp_root = index_root.rstrip("/") + ".compact"
-    new_paths = build_index(spark, docs, tmp_root, params, text_col=text_col, resume=False)
+def _swap_into_place(spark: SparkSession, index_root: str, tmp_root: str) -> IndexPaths:
     import shutil
 
     backup = index_root.rstrip("/") + ".old"
@@ -130,3 +121,109 @@ def compact(spark: SparkSession, index_root: str, params: IndexParams, text_col:
         except Exception:
             pass
     return paths
+
+
+def compact(spark: SparkSession, index_root: str, params: IndexParams, text_col: str = "content"):
+    """Full-exactness restore by REBUILD: global stats + idf + repack
+    from the accumulated raw docs (a batch build over the union).
+    Kept as the compaction oracle; ``compact_merged`` below produces
+    the bit-identical result without the build shuffle and is the one
+    to run at scale."""
+    from ..index.builder import build_index
+
+    paths = IndexPaths(index_root)
+    docs = spark.read.parquet(paths.docs).select("doc_id", text_col)
+    tmp_root = index_root.rstrip("/") + ".compact"
+    build_index(spark, docs, tmp_root, params, text_col=text_col, resume=False)
+    return _swap_into_place(spark, index_root, tmp_root)
+
+
+def compact_merged(spark: SparkSession, index_root: str, params: IndexParams):
+    """Exactness-restoring compaction WITHOUT the build shuffle — the
+    merge kernel (index/merge.py) generalized to one postings dir
+    holding base + streamed generations:
+
+    - exact n_docs/total_tokens/avgdl from ONE docstats scan (the
+      appended stats are already on disk);
+    - df per term from the packed rows themselves (Σ n_docs over a
+      term's segment rows — docs are disjoint across generations, a
+      duplicate is a hard kernel error);
+    - dictionary re-ranked to dense lexical term_ids (streamed terms
+      were appended above max_id; a rebuild would rank them lexically)
+      with idf + okapi ε-fold recomputed, fixing the idf=0
+      placeholders;
+    - one decode-merge-re-encode pass over the packed rows, maxima
+      recomputed against the exact avgdl (delta generations were
+      packed against snapshot stats — their stored maxima are ignored).
+
+    Never touches the raw (term, doc) posting stream: compaction cost
+    is O(packed bytes), not O(corpus tokenize+shuffle).  Bit-identical
+    to ``compact`` (tests/test_streaming_incremental.py)."""
+    import shutil
+
+    from ..index.builder import (
+        dictionary_from_dfreq,
+        write_lineage_and_metrics,
+    )
+    from ..index.merge import _make_merge_fn
+
+    paths = IndexPaths(index_root)
+    old_manifest = json.loads(Path(paths.manifest).read_text())
+    tmp_root = index_root.rstrip("/") + ".compact"
+    out = IndexPaths(tmp_root)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    Path(tmp_root).mkdir(parents=True)
+
+    ds = spark.read.parquet(paths.docstats)
+    n_docs, total_tokens = ds.agg(F.count("*"), F.sum("dl")).collect()[0]
+    n_docs, total_tokens = int(n_docs), int(total_tokens)
+    avgdl = float(total_tokens) / n_docs
+    manifest: dict = {
+        "format_version": old_manifest["format_version"],
+        "eps_fold": old_manifest["eps_fold"],
+        "params": old_manifest["params"],
+        "stages": {},
+        "compacted_from": index_root,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+    }
+    # docs/docstats are already the union on disk — copy verbatim
+    shutil.copytree(paths.docs, out.docs)
+    shutil.copytree(paths.docstats, out.docstats)
+
+    postings_all = spark.read.parquet(paths.postings)
+    old_dict = spark.read.parquet(paths.dictionary)
+    old_map = old_dict.select(F.col("term_id").alias("term_id_old"), "term")
+    dfreq = (
+        postings_all.groupBy("term_id")
+        .agg(F.sum("n_docs").alias("df"))
+        .withColumnRenamed("term_id", "term_id_old")
+        .join(old_map, "term_id_old")
+        .select("term", "df")
+    )
+    dictionary = dictionary_from_dfreq(dfreq, n_docs, params, total_tokens, tmp_root)
+    dictionary.write.mode("overwrite").parquet(out.dictionary)
+    dictionary = spark.read.parquet(out.dictionary)
+    manifest["min_idf"] = float(dictionary.agg(F.min("idf")).collect()[0][0])
+
+    remapped = (
+        postings_all.withColumnRenamed("term_id", "term_id_old")
+        .join(old_map, "term_id_old")
+        .join(dictionary.select("term", "term_id"), "term")
+        .select("term_id", "seg_id", "doc_ids_enc", "tfs_enc", "dls_enc")
+    )
+    packed = (
+        remapped.repartition(
+            max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
+        )
+        .sortWithinPartitions("term_id", "seg_id")
+        .mapInPandas(_make_merge_fn(params, avgdl), POSTINGS_SCHEMA)
+    )
+    packed.repartitionByRange(
+        max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
+    ).sortWithinPartitions("term_id", "seg_id").write.mode("overwrite").parquet(
+        out.postings
+    )
+    write_lineage_and_metrics(spark, out, manifest, resume=False)
+    return _swap_into_place(spark, index_root, tmp_root)

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Merge-vs-rebuild evidence (north_rule: posting-list merge): build
-two half-corpus indexes, then time (a) a fresh build over the union
-corpus vs (b) merge_indexes over the halves, and verify the merged
-manifest matches the rebuilt one.  Prints one JSON line.
+"""Merge-vs-rebuild and delete-vs-rebuild evidence (north_rule:
+posting-list merge): build two half-corpus indexes, then time (a) a
+fresh build over the union corpus vs (b) merge_indexes over the
+halves vs (c) delete_docs of a 1% batch from the union index, and
+verify the merged manifest matches the rebuilt one.  Prints one JSON
+line.
 
 Usage: python scripts/merge_bench.py [n_docs] [cores]   (default 400000 16)
 """
@@ -60,6 +62,13 @@ def main(n_docs: int, cores: int) -> None:
         lambda: merge_indexes(spark, pa.root, pb.root, f"{root}/merged", resume=False)
     )
 
+    from legal_text_retrieval_spark.index.delete import delete_docs
+
+    doomed = list(range(0, n_docs, 100))  # 1% batch, scattered
+    _, delete_s = timed(
+        lambda: delete_docs(spark, direct.root, doomed, f"{root}/deleted", resume=False)
+    )
+
     md = json.loads(Path(direct.manifest).read_text())
     mm = json.loads(Path(merged.manifest).read_text())
     parity = all(
@@ -74,6 +83,8 @@ def main(n_docs: int, cores: int) -> None:
         "rebuild_seconds": round(rebuild_s, 1),
         "merge_seconds": round(merge_s, 1),
         "merge_vs_rebuild": round(merge_s / rebuild_s, 3),
+        "delete_1pct_seconds": round(delete_s, 1),
+        "delete_vs_rebuild": round(delete_s / rebuild_s, 3),
         "manifest_parity": parity,
         "total_postings": mm["total_postings"],
     }))

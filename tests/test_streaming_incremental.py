@@ -57,8 +57,37 @@ def test_stream_append_then_compact(spark, tiny_corpus_pdf, tmp_path):
     got = wand.query_topk(idx, qdf, k=10).toPandas()
     assert (got["doc_id"] >= 150).any()
 
+    # merge-based compaction (no build shuffle) must equal the
+    # rebuild-based one bit-for-bit: snapshot the streamed state,
+    # compact one copy each way, compare tables + manifests
+    import shutil
+
+    root2 = str(tmp_path / "idx_mergecompact")
+    shutil.copytree(root, root2)
+
     # compaction restores exact batch semantics
     incremental.compact(spark, root, PARAMS)
+    incremental.compact_merged(spark, root2, PARAMS)
+
+    import json
+    from pathlib import Path
+
+    from test_index_merge import _dict_pdf, _postings_pdf
+
+    pd.testing.assert_frame_equal(
+        _dict_pdf(spark, builder.IndexPaths(root2)),
+        _dict_pdf(spark, builder.IndexPaths(root)),
+    )
+    pd.testing.assert_frame_equal(
+        _postings_pdf(spark, builder.IndexPaths(root2)),
+        _postings_pdf(spark, builder.IndexPaths(root)),
+    )
+    m1 = json.loads(Path(root, "manifest.json").read_text())
+    m2 = json.loads(Path(root2, "manifest.json").read_text())
+    for key in ("n_docs", "total_tokens", "avgdl", "min_idf", "vocab_size",
+                "total_postings", "bytes_compressed"):
+        assert m1[key] == m2[key], key
+
     idx2 = wand.FulltextIndex.load(spark, root)
     full_pdf = pd.concat([base_pdf, new_pdf], ignore_index=True)
     full = spark.createDataFrame(full_pdf)
