@@ -381,9 +381,25 @@ CENTROID_STRIDE = 37
 _NPROBE = 4
 
 
-def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+def ivf_auto_stride(n: int) -> int:
+    """Production sizing rule: stride ≈ √n, so the centroid count C is
+    also ≈ √n — the classical IVF-flat balance where assignment cost
+    N·C = N^1.5 and probe cost ≈ N·nprobe/C shrink together.  A
+    CONSTANT stride makes C grow linearly with n and assignment
+    quadratic — the same failure class as a constant LSH bucket count
+    (lsh_auto_rbits).  Below n ≈ 1.4k the fixed test stride wins."""
+    return max(CENTROID_STRIDE, int(round(n ** 0.5)))
+
+
+def ivf_centroids(
+    embeddings: DataFrame, stride: int | None = CENTROID_STRIDE
+) -> DataFrame:
+    """``stride=None`` auto-sizes from the corpus (ivf_auto_stride:
+    C ≈ √n; one cheap count job)."""
+    if stride is None:
+        stride = ivf_auto_stride(embeddings.count())
     return embeddings.filter(
-        (F.col("vec_id") % CENTROID_STRIDE == 1)
+        (F.col("vec_id") % stride == 1)
     ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
 
 
@@ -392,19 +408,41 @@ def _best_centroids(
 ) -> DataFrame:
     """(id, centroid_id, probe_rank ≤ nprobe) — cosine-nearest coarse
     centroids from the ``cents(centroid_id, ce)`` relation; ties break
-    centroid_id ASC.  C is a small constant, so the broadcast cross
-    join is O(N·C) — linear in N."""
+    centroid_id ASC.  The broadcast cross join evaluates N·C cosines
+    map-side; for nprobe=1 (assignment — the hot path, run once per
+    Lloyd iteration) the winner is taken by a groupBy argmax whose
+    partial aggregation collapses the N·C rows BEFORE any shuffle —
+    the window variant would shuffle all N·C rows.  Same ordering
+    semantics (ccos DESC, centroid_id ASC) either way."""
     cos = round_sql(
         _DOT.format(a=emb_col, b="ce")
         + " / (" + _NORM.format(a=emb_col) + " * " + _NORM.format(a="ce") + ")",
         9,
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    return (
+    scored = (
         vectors.select(F.col(id_col), F.col(emb_col))
         .crossJoin(F.broadcast(cents))
         .withColumn("ccos", F.expr(cos))
-        .withColumn("probe_rank", F.row_number().over(w))
+    )
+    if nprobe == 1:
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("ccos"), (-F.col("centroid_id")).alias("ncid")
+                    )
+                ).alias("m")
+            )
+            .select(
+                id_col,
+                (-F.col("m.ncid")).alias("centroid_id"),
+                F.lit(1).alias("probe_rank"),
+            )
+        )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
         .filter(F.col("probe_rank") <= nprobe)
         .select(id_col, "centroid_id", "probe_rank")
     )
@@ -437,11 +475,13 @@ WHERE probe_rank <= {nprobe}
 """
 
 
-def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+def ivf_assignments(
+    embeddings: DataFrame, stride: int | None = CENTROID_STRIDE
+) -> DataFrame:
     """(vec_id, centroid_id) — each vector's inverted-list bucket
     (nearest centroid): the IVF index relation."""
     return _best_centroids(
-        embeddings, ivf_centroids(embeddings), 1, "vec_id", "embedding"
+        embeddings, ivf_centroids(embeddings, stride), 1, "vec_id", "embedding"
     ).select("vec_id", "centroid_id")
 
 
@@ -452,13 +492,18 @@ def ivf_assignments_sql(table: str) -> str:
     )
 
 
-def ivf_topk(embeddings: DataFrame, k: int = 5, nprobe: int = _NPROBE) -> DataFrame:
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    nprobe: int = _NPROBE,
+    stride: int | None = CENTROID_STRIDE,
+) -> DataFrame:
     """Approximate cosine top-k, IVF-style: queries probe their nprobe
     nearest centroids; candidates are the vectors ASSIGNED to those
     lists; exact cosine + window inside the probed lists.  Search cost
     ≈ N·nprobe/C instead of N; recall tunable via nprobe
-    (ivf_recall)."""
-    return _ivf_probe_topk(embeddings, ivf_centroids(embeddings), k, nprobe)
+    (ivf_recall).  ``stride=None`` auto-sizes C ≈ √n."""
+    return _ivf_probe_topk(embeddings, ivf_centroids(embeddings, stride), k, nprobe)
 
 
 def _ivf_probe_topk(
@@ -531,11 +576,16 @@ ORDER BY query_vec_id, rank
 """
 
 
-def ivf_recall(embeddings: DataFrame, k: int = 5, nprobe: int = _NPROBE) -> DataFrame:
+def ivf_recall(
+    embeddings: DataFrame,
+    k: int = 5,
+    nprobe: int = _NPROBE,
+    stride: int | None = CENTROID_STRIDE,
+) -> DataFrame:
     """(query_vec_id, n_exact, n_hit, recall) — recall@k of IVF-probed
     search vs the exact brute force: the nprobe tuning gauge."""
     exact = cosine_topk(embeddings, k).select("query_vec_id", "vec_id")
-    approx = ivf_topk(embeddings, k, nprobe).select("query_vec_id", "vec_id")
+    approx = ivf_topk(embeddings, k, nprobe, stride).select("query_vec_id", "vec_id")
     ne = exact.groupBy("query_vec_id").agg(F.count("*").alias("n_exact"))
     nh = (
         exact.join(approx, ["query_vec_id", "vec_id"])
@@ -578,7 +628,11 @@ ORDER BY query_vec_id
 _LLOYD_ITERS = 4
 
 
-def ivf_trained_centroids(embeddings: DataFrame, iters: int = _LLOYD_ITERS) -> DataFrame:
+def ivf_trained_centroids(
+    embeddings: DataFrame,
+    iters: int = _LLOYD_ITERS,
+    stride: int | None = CENTROID_STRIDE,
+) -> DataFrame:
     """(centroid_id, ce) — Lloyd-refined coarse centroids, fully
     deterministic: init = the stride sample (ivf_centroids), assignment
     = cosine-nearest with round-9/centroid-ASC tie-break, update = per-
@@ -587,7 +641,7 @@ def ivf_trained_centroids(embeddings: DataFrame, iters: int = _LLOYD_ITERS) -> D
     centroid.  Every stage is a linear scan or an O(N·C) broadcast
     join — the same cost shape as one ivf_assignments pass per
     iteration."""
-    cents = ivf_centroids(embeddings)
+    cents = ivf_centroids(embeddings, stride)
     for _ in range(iters):
         assign = _best_centroids(embeddings, cents, 1, "vec_id", "embedding").select(
             "vec_id", "centroid_id"

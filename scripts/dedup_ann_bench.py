@@ -95,6 +95,8 @@ def main(sizes: list[int]) -> None:
     from legal_text_retrieval_spark.operators.similarity import (
         ann_candidates,
         ann_lsh_topk,
+        ivf_auto_stride,
+        ivf_topk,
         lsh_auto_rbits,
         near_dup_pairs,
     )
@@ -186,6 +188,24 @@ def main(sizes: list[int]) -> None:
                 len(pair_rows & eplanted) / len(eplanted), 4
             ),
         )
+        stride = ivf_auto_stride(n)
+        t0 = time.time()
+        ihits = ivf_topk(emb, k=5, nprobe=4, stride=stride).select(
+            "query_vec_id", "vec_id"
+        ).collect()
+        ivf_s = time.time() - t0
+        igot = {(r.query_vec_id, r.vec_id) for r in ihits}
+        emit(
+            op="ivf_topk",
+            n=n,
+            stride=stride,
+            n_centroids=n // stride,
+            nprobe=4,
+            seconds=round(ivf_s, 1),
+            planted=len(eplanted),
+            planted_recall=round(len(igot & eplanted) / len(eplanted), 4),
+        )
+
         emb.unpersist()
         spark.catalog.clearCache()
 

@@ -74,6 +74,37 @@ def test_banded_ann_recall_and_candidate_bound(spark, clustered_emb):
     assert frac <= 0.35, frac  # vs 1.0 for brute force
 
 
+def test_ivf_auto_stride_sizing_and_argmax_path(spark, clustered_emb):
+    """stride=None derives C ≈ √n; nprobe=1 assignment (the groupBy
+    argmax path) must pick the same centroids as the window path."""
+    from legal_text_retrieval_spark.operators.similarity import (
+        _best_centroids,
+        ivf_auto_stride,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    for n in (10_000, 1_000_000, 100_000_000):
+        s = ivf_auto_stride(n)
+        assert 0.5 <= (n / s) / n**0.5 <= 2.0  # C within 2x of sqrt(n)
+
+    df, _ = clustered_emb
+    got = ivf_topk(df, k=3, stride=None).toPandas()
+    assert len(got) > 0 and got.groupby("query_vec_id")["rank"].max().max() <= 3
+
+    cents = ivf_centroids(df)
+    fast = (
+        _best_centroids(df, cents, 1, "vec_id", "embedding")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    slow = (
+        _best_centroids(df, cents, 2, "vec_id", "embedding")
+        .where("probe_rank = 1")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert fast["centroid_id"].tolist() == slow["centroid_id"].tolist()
+
+
 def test_trained_ivf_beats_stride(spark, clustered_emb):
     """Lloyd-trained centroids ≥ stride-sampled centroids at equal
     nprobe (VERDICT #4 'Done' criterion), and the training is
