@@ -190,9 +190,9 @@ def main(sizes: list[int]) -> None:
         )
         stride = ivf_auto_stride(n)
         t0 = time.time()
-        ihits = ivf_topk(emb, k=5, nprobe=4, stride=stride).select(
-            "query_vec_id", "vec_id"
-        ).collect()
+        ihits = ivf_topk(
+            emb, k=5, nprobe=4, stride=stride, method="matmul"
+        ).select("query_vec_id", "vec_id").collect()
         ivf_s = time.time() - t0
         igot = {(r.query_vec_id, r.vec_id) for r in ihits}
         emit(
@@ -201,6 +201,7 @@ def main(sizes: list[int]) -> None:
             stride=stride,
             n_centroids=n // stride,
             nprobe=4,
+            method="matmul",
             seconds=round(ivf_s, 1),
             planted=len(eplanted),
             planted_recall=round(len(igot & eplanted) / len(eplanted), 4),
