@@ -319,13 +319,21 @@ ORDER BY doc_a, doc_b
 
 
 def dedup_keep(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "content"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "content",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id) — corpus after near-dup removal: greedy keep-lowest
     policy (drop any doc that has a near-duplicate with a smaller
     doc_id).  Deterministic, clustering-free, the standard policy for
-    training-data dedup sweeps; pairs come from the LSH+verify path."""
-    drop = dedup_minhash_lsh(docs, n, threshold, text_col).select("doc_b").distinct()
+    training-data dedup sweeps; pairs come from the LSH+verify path,
+    or pass a precomputed ``pairs(doc_a, doc_b, …)`` relation to avoid
+    re-running the sweep when both outputs are needed."""
+    if pairs is None:
+        pairs = dedup_minhash_lsh(docs, n, threshold, text_col)
+    drop = pairs.select("doc_b").distinct()
     return docs.join(
         drop.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left_anti"
     ).select("doc_id")
