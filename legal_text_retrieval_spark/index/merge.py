@@ -255,3 +255,37 @@ def merge_indexes(
     stage("postings", paths.postings, make_postings)
     write_lineage_and_metrics(spark, paths, manifest, resume)
     return paths
+
+
+def upsert_index(
+    spark: SparkSession,
+    base_root: str,
+    delta_root: str,
+    out_dir: str,
+    resume: bool = True,
+) -> IndexPaths:
+    """UPSERT = delete ∘ merge: documents present in both indexes take
+    the DELTA's version (re-ingested/updated docs), everything else
+    unions.  Composition of the two bit-identical primitives, so the
+    result equals a fresh build over (base − overlap) ∪ delta
+    (tests/test_index_merge.py::test_upsert_parity).
+
+    Overlapping doc_ids are collected (bounded by the delta batch
+    size, not the corpus).  Two packed-row passes (prune, then merge) —
+    still no raw posting shuffle."""
+    from .delete import delete_docs
+
+    pb = IndexPaths(base_root)
+    pd_ = IndexPaths(delta_root)
+    overlap = [
+        r.doc_id
+        for r in spark.read.parquet(pb.docstats)
+        .join(spark.read.parquet(pd_.docstats), "doc_id", "left_semi")
+        .select("doc_id")
+        .collect()
+    ]
+    pruned_root = base_root
+    if overlap:
+        pruned_root = out_dir.rstrip("/") + ".base_pruned"
+        delete_docs(spark, base_root, overlap, pruned_root, resume=resume)
+    return merge_indexes(spark, pruned_root, delta_root, out_dir, resume=resume)

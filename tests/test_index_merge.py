@@ -111,6 +111,40 @@ def test_merge_parity_okapi_eps_fold(spark, tiny_docs, tmp_path):
     _merge_and_compare(spark, tiny_docs, tmp_path, OKAPI, F.col("doc_id") % 3 == 0)
 
 
+def test_upsert_parity(spark, tiny_docs, tmp_path):
+    """delta wins on overlapping doc_ids; result equals a fresh build
+    over (base − overlap) ∪ delta, bit-for-bit."""
+    from pyspark.sql import functions as F2
+
+    from legal_text_retrieval_spark.index.merge import upsert_index
+
+    base_docs = tiny_docs.filter(F.col("doc_id") < 150)
+    # delta: docs 100..199, with docs 100-149 carrying UPDATED text
+    delta_docs = tiny_docs.filter(F.col("doc_id") >= 100).withColumn(
+        "content",
+        F2.when(
+            F.col("doc_id") < 150, F2.concat(F.col("content"), F2.lit(" upd"))
+        ).otherwise(F.col("content")),
+    )
+    pb = _build(spark, base_docs, tmp_path / "base", PARAMS)
+    pdl = _build(spark, delta_docs, tmp_path / "delta", PARAMS)
+    out = upsert_index(spark, pb.root, pdl.root, str(tmp_path / "upserted"))
+
+    want_docs = tiny_docs.filter(F.col("doc_id") < 100).unionByName(delta_docs)
+    direct = _build(spark, want_docs, tmp_path / "direct", PARAMS)
+
+    da, dd = _dict_pdf(spark, out), _dict_pdf(spark, direct)
+    pd.testing.assert_frame_equal(da[sorted(da.columns)], dd[sorted(dd.columns)])
+    pd.testing.assert_frame_equal(
+        _postings_pdf(spark, out), _postings_pdf(spark, direct)
+    )
+    mo = json.loads(Path(out.manifest).read_text())
+    md = json.loads(Path(direct.manifest).read_text())
+    for key in ("n_docs", "total_tokens", "avgdl", "min_idf", "vocab_size",
+                "total_postings", "bytes_compressed"):
+        assert mo[key] == md[key], key
+
+
 def test_merge_rejects_param_mismatch(spark, tiny_docs, tmp_path):
     docs_a = tiny_docs.filter(F.col("doc_id") < 100)
     docs_b = tiny_docs.filter(F.col("doc_id") >= 100)
