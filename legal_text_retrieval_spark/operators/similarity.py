@@ -710,6 +710,7 @@ def ivf_trained_centroids(
     embeddings: DataFrame,
     iters: int = _LLOYD_ITERS,
     stride: int | None = CENTROID_STRIDE,
+    method: str = "expr",
 ) -> DataFrame:
     """(centroid_id, ce) — Lloyd-refined coarse centroids, fully
     deterministic: init = the stride sample (ivf_centroids), assignment
@@ -721,7 +722,7 @@ def ivf_trained_centroids(
     iteration."""
     cents = ivf_centroids(embeddings, stride)
     for _ in range(iters):
-        assign = _best_centroids(embeddings, cents, 1, "vec_id", "embedding").select(
+        assign = _centroid_scan(embeddings, cents, 1, "vec_id", "embedding", method).select(
             "vec_id", "centroid_id"
         )
         ex = (
@@ -829,11 +830,19 @@ def ivf_trained_topk(
     k: int = 5,
     nprobe: int = _NPROBE,
     iters: int = _LLOYD_ITERS,
+    stride: int | None = CENTROID_STRIDE,
+    method: str = "expr",
 ) -> DataFrame:
     """ivf_topk over Lloyd-trained centroids — same probe plan, better
     lists (ivf_trained_recall ≥ the stride quantizer's recall at equal
     nprobe; VERDICT round-2 #4)."""
-    return _ivf_probe_topk(embeddings, ivf_trained_centroids(embeddings, iters), k, nprobe)
+    return _ivf_probe_topk(
+        embeddings,
+        ivf_trained_centroids(embeddings, iters, stride, method),
+        k,
+        nprobe,
+        method,
+    )
 
 
 def ivf_trained_topk_sql(
