@@ -99,6 +99,20 @@ def _done(path: str) -> bool:
     return Path(path, "_SUCCESS").exists()
 
 
+def input_fingerprint(*parts) -> str:
+    """Stable hash of an incremental operation's inputs (source roots,
+    deleted-id sets, source index stats).  Recorded as ``input_fp`` in
+    the output manifest; merge/delete/upsert refuse to resume from an
+    out_dir whose manifest carries a different fingerprint — reusing
+    ``_done`` stages keyed only on out_dir would silently return the
+    previous call's index (round-3 ADVICE, medium)."""
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(parts, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
 # vocab size above which term-id assignment switches from a single
 # global window to the distributed range-partition + offset scheme
 DISTRIBUTED_TERMID_THRESHOLD = DISTRIBUTED_ID_THRESHOLD

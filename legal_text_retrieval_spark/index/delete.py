@@ -44,6 +44,7 @@ from .builder import (
     _done,
     _pack_group,
     dictionary_from_dfreq,
+    input_fingerprint,
     write_lineage_and_metrics,
 )
 from .merge import _params_from_manifest
@@ -124,6 +125,10 @@ def delete_docs(
         raise ValueError("deleting every document — refuse to build an empty index")
     total_tokens = int(m["total_tokens"]) - int(tokens_dropped)
     avgdl = float(total_tokens) / n_docs
+    input_fp = input_fingerprint(
+        "delete", root, m.get("n_docs"), m.get("total_tokens"),
+        [int(x) for x in deleted],
+    )
     manifest: dict = {
         "format_version": m["format_version"],
         "eps_fold": m["eps_fold"],
@@ -134,9 +139,18 @@ def delete_docs(
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": avgdl,
+        "input_fp": input_fp,
     }
     if resume and Path(paths.manifest).exists():
-        manifest.update(json.loads(Path(paths.manifest).read_text()))
+        old = json.loads(Path(paths.manifest).read_text())
+        if old.get("input_fp") == input_fp:
+            # resume only timing bookkeeping — never the derived stats,
+            # which the old manifest would clobber with stale values
+            manifest["stages"] = old.get("stages", {})
+        else:
+            # different source/doc_ids into the same out_dir: the _done
+            # markers on disk belong to another operation — recompute
+            resume = False
 
     def stage(name: str, path: str, producer) -> DataFrame:
         t0 = time.time()

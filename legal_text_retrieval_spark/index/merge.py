@@ -51,6 +51,7 @@ from .builder import (
     _done,
     _pack_group,
     dictionary_from_dfreq,
+    input_fingerprint,
     write_lineage_and_metrics,
 )
 
@@ -163,6 +164,11 @@ def merge_indexes(
     n_docs = int(ma["n_docs"]) + int(mb["n_docs"])
     total_tokens = int(ma["total_tokens"]) + int(mb["total_tokens"])
     avgdl = float(total_tokens) / n_docs
+    input_fp = input_fingerprint(
+        "merge",
+        root_a, ma.get("n_docs"), ma.get("total_tokens"), ma.get("input_fp"),
+        root_b, mb.get("n_docs"), mb.get("total_tokens"), mb.get("input_fp"),
+    )
     manifest: dict = {
         "format_version": ma["format_version"],
         "eps_fold": ma["eps_fold"],
@@ -172,9 +178,18 @@ def merge_indexes(
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": avgdl,
+        "input_fp": input_fp,
     }
     if resume and Path(paths.manifest).exists():
-        manifest.update(json.loads(Path(paths.manifest).read_text()))
+        old = json.loads(Path(paths.manifest).read_text())
+        if old.get("input_fp") == input_fp:
+            # resume only timing bookkeeping — never the derived stats,
+            # which the old manifest would clobber with stale values
+            manifest["stages"] = old.get("stages", {})
+        else:
+            # different sources into the same out_dir: on-disk _done
+            # markers belong to another merge — recompute everything
+            resume = False
 
     def stage(name: str, path: str, producer) -> DataFrame:
         t0 = time.time()
@@ -201,8 +216,15 @@ def merge_indexes(
 
     docs_a = spark.read.parquet(pa.docs)
     docs_b = spark.read.parquet(pb.docs)
-    common = [c for c in docs_a.columns if c in docs_b.columns]
-    stage("docs", paths.docs, lambda: docs_a.select(common).unionByName(docs_b.select(common)))
+    # keep the UNION of columns (null-filled where a side lacks one) —
+    # a rebuild over the union corpus keeps every input column, so
+    # intersecting here would silently drop one-sided columns and break
+    # the merged == rebuilt contract for the docs table
+    stage(
+        "docs",
+        paths.docs,
+        lambda: docs_a.unionByName(docs_b, allowMissingColumns=True),
+    )
     stage("docstats", paths.docstats, lambda: ds_a.unionByName(ds_b))
 
     # -- dictionary: realign by term, sum df, recompute idf + term_ids
@@ -272,7 +294,13 @@ def upsert_index(
 
     Overlapping doc_ids are collected (bounded by the delta batch
     size, not the corpus).  Two packed-row passes (prune, then merge) —
-    still no raw posting shuffle."""
+    still no raw posting shuffle.  The intermediate pruned base index
+    is deleted once the merge succeeds (it is a full index copy);
+    re-running the same upsert therefore re-prunes, and a DIFFERENT
+    upsert into the same out_dir is caught by the manifest
+    ``input_fp`` guard rather than reusing stale artifacts."""
+    import shutil
+
     from .delete import delete_docs
 
     pb = IndexPaths(base_root)
@@ -288,4 +316,7 @@ def upsert_index(
     if overlap:
         pruned_root = out_dir.rstrip("/") + ".base_pruned"
         delete_docs(spark, base_root, overlap, pruned_root, resume=resume)
-    return merge_indexes(spark, pruned_root, delta_root, out_dir, resume=resume)
+    result = merge_indexes(spark, pruned_root, delta_root, out_dir, resume=resume)
+    if overlap:
+        shutil.rmtree(pruned_root, ignore_errors=True)
+    return result

@@ -46,9 +46,25 @@ class LocalIndexServer:
         self.all_doc_ids: np.ndarray | None = None
 
     @classmethod
-    def load(cls, spark, root: str) -> "LocalIndexServer":
+    def load(cls, spark, root: str, allow_legacy: bool = False) -> "LocalIndexServer":
+        from .wand import FulltextIndex
+
         paths = IndexPaths(root)
         manifest = json.loads(Path(paths.manifest).read_text())
+        fv = manifest.get("format_version")
+        if fv != FulltextIndex.REQUIRED_FORMAT_VERSION or "eps_fold" not in manifest:
+            msg = (
+                f"index at {root}: format_version={fv!r} / eps_fold "
+                f"{'present' if 'eps_fold' in manifest else 'MISSING'} — serving "
+                f"requires format_version={FulltextIndex.REQUIRED_FORMAT_VERSION} "
+                "with eps_fold (see FulltextIndex.load). Rebuild, or pass "
+                "allow_legacy=True."
+            )
+            if not allow_legacy:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
         p = manifest["params"]
         params = BM25Params(
             k1=p["k1"], b=p["b"], delta=p["delta"], variant=p["variant"], epsilon=p["epsilon"]

@@ -64,10 +64,33 @@ class FulltextIndex:
     paths: IndexPaths
     manifest: dict
 
+    # manifest invariants an index must carry to be scored correctly:
+    # eps_fold (okapi ε provenance) and format_version 3 (min_idf +
+    # block-max layout).  merge.py guards the same keys pairwise
+    # (_COMPAT_KEYS); load guards them absolutely.
+    REQUIRED_FORMAT_VERSION = 3
+
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "FulltextIndex":
+    def load(
+        cls, spark: SparkSession, root: str, allow_legacy: bool = False
+    ) -> "FulltextIndex":
         paths = IndexPaths(root)
         manifest = json.loads(Path(paths.manifest).read_text())
+        fv = manifest.get("format_version")
+        legacy = fv != cls.REQUIRED_FORMAT_VERSION or "eps_fold" not in manifest
+        if legacy:
+            msg = (
+                f"index at {root}: format_version={fv!r}, "
+                f"eps_fold={'present' if 'eps_fold' in manifest else 'MISSING'} — "
+                f"expected format_version={cls.REQUIRED_FORMAT_VERSION} with eps_fold; "
+                "okapi ε-fold provenance and block-max layout cannot be trusted. "
+                "Rebuild the index, or pass allow_legacy=True to open anyway."
+            )
+            if not allow_legacy:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
         # the index dirs may have been rewritten in-place (compaction,
         # resumed builds) — drop any stale cached relations for them
         for p in (paths.dictionary, paths.docstats, paths.postings, paths.docs):
@@ -86,11 +109,22 @@ class FulltextIndex:
 
     _dict_cache: DataFrame | None = None
     _docstats_cache: DataFrame | None = None
+    _n_terms_cache: int | None = None
 
     def dictionary(self) -> DataFrame:
         if self._dict_cache is None:
             self._dict_cache = self.spark.read.parquet(self.paths.dictionary).cache()
         return self._dict_cache
+
+    def n_terms(self) -> int:
+        """Vocabulary size, computed once per index lifetime (manifest
+        stats if recorded, else one count over the cached dictionary) —
+        lets repeated query batches skip the per-batch isin-vs-semi-join
+        probe when the whole vocabulary fits the pushdown limit."""
+        if self._n_terms_cache is None:
+            n = self.manifest.get("vocab_size")
+            self._n_terms_cache = int(n) if n is not None else self.dictionary().count()
+        return self._n_terms_cache
 
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.postings)
@@ -360,10 +394,17 @@ def query_topk(
     # term_id pruning: an .isin literal list buys parquet row-group
     # min/max pruning, but collecting an unbounded distinct set to the
     # driver is a scale hazard — above the guard, switch to a broadcast
-    # LEFT SEMI join (same rows, no driver materialization).
-    id_rows = (
-        qterms.select("term_id").distinct().limit(TERM_ID_PUSHDOWN_LIMIT + 1).collect()
-    )
+    # LEFT SEMI join (same rows, no driver materialization).  When the
+    # whole VOCABULARY fits the limit (manifest vocab_size, cached per
+    # index — no job after the first call) the query term set trivially
+    # does too, so the limit+1 probe is skipped and the only collect is
+    # the one that builds the literal list itself.
+    if index.n_terms() <= TERM_ID_PUSHDOWN_LIMIT:
+        id_rows = qterms.select("term_id").distinct().collect()
+    else:
+        id_rows = (
+            qterms.select("term_id").distinct().limit(TERM_ID_PUSHDOWN_LIMIT + 1).collect()
+        )
     if len(id_rows) <= TERM_ID_PUSHDOWN_LIMIT:
         post = index.postings().where(
             F.col("term_id").isin([r.term_id for r in id_rows])

@@ -142,7 +142,14 @@ def _plane_signs(plane: int, dim: int) -> list[int]:
 
 def _sig_expr_spark(planes: list[int], dim: int) -> str:
     """Spark expression: int signature over ``planes`` (global plane
-    ids), bit j = sign of dot(embedding, plane_j)."""
+    ids), bit j = sign of dot(embedding, plane_j).
+
+    The whole signature is wrapped in a size(embedding) == dim guard
+    that raises in-plan: zip_with null-pads on length mismatch, which
+    would silently zero the extra bits (or ignore dims beyond ``dim``)
+    for a caller who forgot dim= on non-default-width vectors.  Guarding
+    inside the expression (not a separate assert column) survives
+    Catalyst column pruning."""
     bits = []
     for j, p in enumerate(planes):
         s = ",".join(str(v) for v in _plane_signs(p, dim))
@@ -151,7 +158,13 @@ def _sig_expr_spark(planes: list[int], dim: int) -> str:
             f"(x, v) -> CAST(x AS DOUBLE) * v), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         bits.append(f"(CASE WHEN {dp} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)")
-    return " + ".join(bits)
+    sig = " + ".join(bits)
+    return (
+        f"CASE WHEN size(embedding) = {dim} THEN ({sig}) "
+        f"ELSE CAST(raise_error(concat('lsh signature: embedding width ', "
+        f"CAST(size(embedding) AS STRING), ' != configured dim {dim} — pass dim=')) "
+        f"AS BIGINT) END"
+    )
 
 
 def _sig_expr_duckdb(planes: list[int], dim: int) -> str:

@@ -85,6 +85,13 @@ _SESSION_STATE_SCHEMA = T.StructType(
         T.StructField("total_units", T.LongType()),
     ]
 )
+# STATE SCHEMA v2 (total_units LONG replaced total_value DOUBLE).
+# applyInPandasWithState state is positional in the checkpoint — a
+# stream restarted from a checkpoint written under the v1 schema would
+# misread the slot.  Schema changes here REQUIRE a fresh checkpoint
+# directory; there is no migration path (Spark does not version
+# flatMapGroupsWithState state).  Bump this marker on any change.
+_SESSION_STATE_VERSION = 2
 _SESSION_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

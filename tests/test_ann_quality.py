@@ -180,3 +180,18 @@ def test_trained_ivf_partitions_all_vectors(spark, clustered_emb):
     merged = approx.merge(exact, on=["query_vec_id", "vec_id"], suffixes=("_a", "_e"))
     assert len(merged) == len(approx)
     assert (merged["cos_a"] == merged["cos_e"]).all()
+
+
+def test_lsh_signature_rejects_wrong_width(spark):
+    """Round-3 ADVICE: zip_with null-pads on width mismatch, silently
+    degrading signatures for callers who forget dim= — the signature
+    expression now asserts size(embedding) == dim in-plan."""
+    from legal_text_retrieval_spark.operators.similarity import lsh_signatures
+
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="embedding width"):
+        lsh_signatures(bad).collect()  # default dim=64
+    ok = lsh_signatures(bad, dim=32).collect()
+    assert len(ok) == 1

@@ -76,3 +76,36 @@ def test_delete_everything_refused(spark, tiny_docs, tmp_path):
     full = builder.build_index(spark, tiny_docs, str(tmp_path / "full"), PARAMS)
     with pytest.raises(ValueError, match="every document"):
         delete_docs(spark, full.root, list(range(200)), str(tmp_path / "d"))
+
+
+def test_delete_resume_refuses_stale_inputs(spark, tiny_docs, tmp_path):
+    """Round-3 ADVICE (medium): a second delete_docs into the same
+    out_dir with DIFFERENT doc_ids must recompute, not silently return
+    the first call's index via resumed _done stages."""
+    full = builder.build_index(spark, tiny_docs, str(tmp_path / "full"), PARAMS)
+    out_dir = str(tmp_path / "deleted")
+
+    first = delete_docs(spark, full.root, [1, 2, 3], out_dir)
+    m1 = json.loads(Path(first.manifest).read_text())
+    assert m1["n_deleted"] == 3 and "input_fp" in m1
+
+    # same inputs → resume is a no-op (stages marked resumed)
+    again = delete_docs(spark, full.root, [1, 2, 3], out_dir)
+    m_again = json.loads(Path(again.manifest).read_text())
+    assert all(s.get("resumed") for s in m_again["stages"].values())
+
+    # different inputs into the SAME out_dir → full recompute, and the
+    # result matches a rebuild over the new survivor set bit-for-bit
+    second = delete_docs(spark, full.root, [10, 11, 12, 13], out_dir)
+    m2 = json.loads(Path(second.manifest).read_text())
+    assert m2["n_deleted"] == 4
+    assert m2["input_fp"] != m1["input_fp"]
+    assert not any(s.get("resumed") for s in m2["stages"].values())
+    survivors = tiny_docs.filter(~F.col("doc_id").isin([10, 11, 12, 13]))
+    direct = builder.build_index(spark, survivors, str(tmp_path / "direct"), PARAMS)
+    pd.testing.assert_frame_equal(
+        _postings_pdf(spark, second), _postings_pdf(spark, direct)
+    )
+    md = json.loads(Path(direct.manifest).read_text())
+    for key in ("n_docs", "total_tokens", "avgdl", "min_idf", "vocab_size"):
+        assert m2[key] == md[key], key

@@ -163,3 +163,59 @@ def test_merge_rejects_overlapping_docs(spark, tiny_docs, tmp_path):
     pb = _build(spark, docs_b, tmp_path / "b", PARAMS)
     with pytest.raises(ValueError, match="disjoint"):
         merge_indexes(spark, pa.root, pb.root, str(tmp_path / "m"))
+
+
+def test_merge_keeps_one_sided_doc_columns(spark, tiny_docs, tmp_path):
+    """A column present in only one source's docs table survives the
+    merge null-filled (a rebuild over the union corpus would keep it;
+    intersecting columns silently dropped it — round-3 ADVICE)."""
+    docs_a = tiny_docs.filter(F.col("doc_id") < 100)
+    docs_b = tiny_docs.filter(F.col("doc_id") >= 100).drop("lang")
+    pa = _build(spark, docs_a, tmp_path / "a", PARAMS)
+    pb = _build(spark, docs_b, tmp_path / "b", PARAMS)
+    assert "lang" not in spark.read.parquet(pb.docs).columns
+    merged = merge_indexes(spark, pa.root, pb.root, str(tmp_path / "m"))
+    docs = spark.read.parquet(merged.docs)
+    assert "lang" in docs.columns
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    assert got[0] is not None and got[150] is None
+
+
+def test_merge_resume_refuses_stale_sources(spark, tiny_docs, tmp_path):
+    """Merging DIFFERENT sources into a previously used out_dir must
+    recompute (manifest input_fp mismatch), not resume stale stages."""
+    pa = _build(spark, tiny_docs.filter(F.col("doc_id") < 80), tmp_path / "a", PARAMS)
+    pb = _build(
+        spark,
+        tiny_docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 160)),
+        tmp_path / "b",
+        PARAMS,
+    )
+    pc = _build(spark, tiny_docs.filter(F.col("doc_id") >= 160), tmp_path / "c", PARAMS)
+    out_dir = str(tmp_path / "m")
+    m1 = merge_indexes(spark, pa.root, pb.root, out_dir)
+    n1 = json.loads(Path(m1.manifest).read_text())["n_docs"]
+    assert n1 == 160
+    m2 = merge_indexes(spark, pa.root, pc.root, out_dir)
+    man2 = json.loads(Path(m2.manifest).read_text())
+    assert man2["n_docs"] == 120
+    assert not any(s.get("resumed") for s in man2["stages"].values())
+    direct = _build(
+        spark,
+        tiny_docs.filter((F.col("doc_id") < 80) | (F.col("doc_id") >= 160)),
+        tmp_path / "direct",
+        PARAMS,
+    )
+    pd.testing.assert_frame_equal(_postings_pdf(spark, m2), _postings_pdf(spark, direct))
+
+
+def test_upsert_cleans_pruned_base(spark, tiny_docs, tmp_path):
+    """The intermediate .base_pruned index (a full index copy) must not
+    outlive the upsert (round-3 ADVICE)."""
+    from legal_text_retrieval_spark.index.merge import upsert_index
+
+    pb = _build(spark, tiny_docs.filter(F.col("doc_id") < 150), tmp_path / "base", PARAMS)
+    pdl = _build(spark, tiny_docs.filter(F.col("doc_id") >= 100), tmp_path / "delta", PARAMS)
+    out_dir = str(tmp_path / "ups")
+    upsert_index(spark, pb.root, pdl.root, out_dir)
+    assert not Path(out_dir + ".base_pruned").exists()
