@@ -347,6 +347,12 @@ def _q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_simhash_near_dup(spark, sf_dir):
+    from legal_text_retrieval_spark.operators.dedup import simhash_near_dup
+
+    return simhash_near_dup(_docs(spark, sf_dir), t=3)
+
+
 def _q_embedding_cosine_topk(spark, sf_dir):
     from legal_text_retrieval_spark.operators.similarity import cosine_topk
 
@@ -813,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_keep": _q_dedup_keep,
         "simhash": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ivf_assignments": _q_ivf_assignments,
@@ -927,6 +934,7 @@ USING (query_id, doc_id) WHERE r2.hit IS NULL
         "dedup_ngram_jaccard": DD.dedup_ngram_jaccard_sql("documents"),
         "dedup_minhash_lsh": DD.dedup_minhash_lsh_sql("documents"),
         "simhash": DD.simhash_sql("documents"),
+        "simhash_near_dup": DD.simhash_near_dup_sql("documents", t=3),
         "embedding_cosine_topk": SIM.cosine_topk_sql("embeddings"),
         "ann_lsh_topk": SIM.ann_lsh_topk_sql("embeddings"),
         "ann_recall": SIM.ann_recall_sql("embeddings"),

@@ -394,3 +394,103 @@ sums AS (SELECT doc_id, {bit_aggs} FROM tf GROUP BY doc_id)
 SELECT doc_id, ({sim})::BIGINT AS simhash
 FROM sums ORDER BY doc_id
 """
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    t: int = 3,
+    bits: int = 32,
+    text_col: str = "content",
+    bucket_cap: int | None = _BUCKET_CAP,
+    sims: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — SimHash near-duplicate pairs with
+    Hamming distance ≤ ``t``, the C4/RefinedWeb-style fingerprint dedup
+    (Manku et al., WWW'07 banding): split the ``bits``-bit fingerprint
+    into t+1 bands; by pigeonhole any pair within distance t agrees
+    EXACTLY on ≥ 1 band, so the banded equi-join has recall 1.0 (not
+    probabilistic like MinHash), and ``bit_count(xor)`` verifies each
+    candidate.
+
+    Scale design: candidates shuffle as (band, band_value, doc_id) —
+    per-bucket cost is bucket², so band width w = bits/(t+1) must keep
+    2^w ≥ n/target_bucket.  At web scale run 60-bit fingerprints with
+    t ≤ 3 (w = 15 → 32k buckets/band); the 32-bit default matches the
+    ``simhash`` gate entry at test scale.  Hot buckets (boilerplate
+    fingerprints) are capped like the MinHash path (stop-bucket
+    heuristic, ``bucket_cap`` docs) — a true near-dup pair within
+    distance t in a capped bucket still collides in any OTHER agreeing
+    band, so only pairs whose every agreeing band is hot are lost.
+    Verify is pair-first: the xor runs on the candidate pair rows,
+    never on a bucket-keyed join output."""
+    if sims is None:
+        sims = simhash(docs, bits, text_col)
+    nb = t + 1
+    w = bits // nb
+    widths = [w + 1 if b < bits % nb else w for b in range(nb)]
+    offs = [sum(widths[:b]) for b in range(nb)]
+    structs = [
+        f"named_struct('band', {b}, 'bv', shiftright(simhash, {offs[b]}) % {2 ** widths[b]})"
+        for b in range(nb)
+    ]
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr("array(" + ",".join(structs) + ")")).alias("x"),
+    ).select("doc_id", "simhash", F.col("x.band").alias("band"), F.col("x.bv").alias("bv"))
+    if bucket_cap is not None:
+        small = (
+            bands.groupBy("band", "bv")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= bucket_cap)
+            .select("band", "bv")
+        )
+        bands = bands.join(small, ["band", "bv"], "left_semi")
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= t)
+        .distinct()
+    )
+
+
+def simhash_near_dup_sql(
+    table: str,
+    t: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    bucket_cap: int | None = _BUCKET_CAP,
+) -> str:
+    nb = t + 1
+    w = bits // nb
+    widths = [w + 1 if b < bits % nb else w for b in range(nb)]
+    offs = [sum(widths[:b]) for b in range(nb)]
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {offs[b]}) % {2 ** widths[b]} AS bv FROM sims"
+        for b in range(nb)
+    )
+    cap_ctes = (
+        f"""
+small AS (SELECT band, bv FROM bands0 GROUP BY band, bv HAVING count(*) <= {bucket_cap}),
+bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, bv)),"""
+        if bucket_cap is not None
+        else "\nbands AS (SELECT * FROM bands0),"
+    )
+    # simhash_sql ends with ORDER BY — strip for CTE use
+    inner = simhash_sql(table, bits, text_col).rstrip().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH sims AS ({inner}),
+bands0 AS ({band_selects}),{cap_ctes}
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         bit_count(CAST(xor(x.simhash, y.simhash) AS BIGINT))::BIGINT AS hamming
+  FROM bands x JOIN bands y USING (band, bv) WHERE x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {t}
+ORDER BY doc_a, doc_b
+"""
