@@ -111,10 +111,20 @@ class FulltextIndex:
     _docstats_cache: DataFrame | None = None
     _n_terms_cache: int | None = None
 
+    @staticmethod
+    def _pinned(df: DataFrame) -> DataFrame:
+        """Re-register the cache if a query_scope / clearCache dropped
+        it (storageLevel reads NONE then) — keeps long-lived index
+        handles valid across batch-scoped cache lifecycles."""
+        lvl = df.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            df.cache()
+        return df
+
     def dictionary(self) -> DataFrame:
         if self._dict_cache is None:
             self._dict_cache = self.spark.read.parquet(self.paths.dictionary).cache()
-        return self._dict_cache
+        return self._pinned(self._dict_cache)
 
     def n_terms(self) -> int:
         """Vocabulary size, computed once per index lifetime (manifest
@@ -132,7 +142,7 @@ class FulltextIndex:
     def docstats(self) -> DataFrame:
         if self._docstats_cache is None:
             self._docstats_cache = self.spark.read.parquet(self.paths.docstats).cache()
-        return self._docstats_cache
+        return self._pinned(self._docstats_cache)
 
 
 def _make_group_fn(

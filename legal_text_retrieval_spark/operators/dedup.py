@@ -65,6 +65,52 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "content") -> Data
     )
 
 
+def dedup_shuffle_partitions(
+    docs: DataFrame,
+    text_col: str = "content",
+    rows_per_partition: int = 1_000_000,
+    sample_docs: int = 2_000,
+    max_partitions: int = 4_096,
+) -> int:
+    """Shuffle-partition count that bounds the dedup sweep's per-
+    partition shingle rows (the BASELINE round-3 sizing lesson made
+    code: the 1.6M-doc MinHash leg OOMed at 16 partitions — ~30M
+    aggregate rows per partition — and completed at 128; partitions
+    must grow with n·shingles/doc, not stay at the session default).
+
+    Estimate = n_docs × avg tokens/doc from a bounded sample (distinct
+    n-shingles ≤ tokens), two tiny jobs.  Never returns less than the
+    cluster's default parallelism."""
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    frac = min(1.0, sample_docs / max(1, n_docs))
+    sample = docs.sample(fraction=frac, seed=7) if frac < 1.0 else docs
+    avg_tokens = (
+        sample.select(F.avg(F.size(tokenize(F.col(text_col))))).collect()[0][0] or 0.0
+    )
+    est_rows = int(n_docs * avg_tokens)
+    base = max(1, spark.sparkContext.defaultParallelism)
+    return int(min(max_partitions, max(base, est_rows // rows_per_partition + 1)))
+
+
+def _ensure_dedup_partitions(docs: DataFrame, text_col: str) -> None:
+    """Raise (never lower) the session's shuffle partitions to the
+    dedup sizing rule.  Session-level by necessity: the returned
+    DataFrames are lazy, so the conf must still hold at action time.
+    Raising is safe under AQE (coalescePartitions shrinks small
+    shuffles back down); NOT raising is what OOMs — AQE never splits
+    an oversized aggregate partition.  Note AQE coalesces by
+    COMPRESSED shuffle size, so highly compressible shingle text still
+    lands in few post-coalesce partitions — that is why the sweep's
+    joins are pinned to sort-merge (spill-safe) rather than hash
+    builds; aggregates spill natively."""
+    spark = docs.sparkSession
+    want = dedup_shuffle_partitions(docs, text_col)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if want > cur:
+        spark.conf.set("spark.sql.shuffle.partitions", str(want))
+
+
 def _shingles_sql(table: str, n: int, text_col: str) -> str:
     t = tokens_sql(text_col)
     parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
@@ -108,12 +154,25 @@ def dedup_ngram_jaccard(
     sha, shb = sh, sh
     if pairs is not None:
         # semi-joins keep every shingle of a kept doc, so per-doc sizes
-        # computed from sha/shb below are still the true full counts
+        # computed from sha/shb below are still the true full counts.
+        # Every join side here scales with the corpus, so join strategy
+        # is pinned to sort-merge: AQE sees small COMPRESSED shuffle
+        # sizes at runtime and would otherwise (a) convert these joins
+        # to driver-built broadcasts (measured fatal at 1.6M docs / 8g
+        # heap) or (b) coalesce partitions so far that a shuffle-hash
+        # build explodes decompressed (shingle text compresses ~10-20×;
+        # also measured fatal).  Sort-merge spills gracefully at any
+        # partition size — the only join strategy that is memory-safe
+        # under compression-skewed AQE statistics.
         sha = sh.join(
-            pairs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
+            pairs.select(F.col("doc_a").alias("doc_id")).distinct().hint("merge"),
+            "doc_id",
+            "left_semi",
         )
         shb = sh.join(
-            pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_semi"
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct().hint("merge"),
+            "doc_id",
+            "left_semi",
         )
     sizes_a = sha.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sizes_b = shb.groupBy("doc_id").agg(F.count("*").alias("sz")) if pairs is not None else sizes_a
@@ -122,11 +181,12 @@ def dedup_ngram_jaccard(
         # equi-join on (doc_id, shingle) — never a shingle-only join
         inter = (
             pairs.select("doc_a", "doc_b")
+            .hint("merge")
             .join(sha.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
             .select("doc_a", "doc_b", F.col("a.shingle").alias("sh_a"))
             .alias("l")
             .join(
-                shb.alias("b"),
+                shb.alias("b").hint("merge"),
                 (F.col("l.doc_b") == F.col("b.doc_id"))
                 & (F.col("l.sh_a") == F.col("b.shingle")),
             )
@@ -140,9 +200,10 @@ def dedup_ngram_jaccard(
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
     inter = inter.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    sz_hint = (lambda d: d.hint("merge")) if pairs is not None else (lambda d: d)
     return (
-        inter.join(sizes_a.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes_b.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        inter.join(sz_hint(sizes_a.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza")), "doc_a")
+        .join(sz_hint(sizes_b.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb")), "doc_b")
         .withColumn(
             "jaccard",
             F.expr(round_sql("CAST(inter AS DOUBLE) / (sza + szb - inter)", 9)),
@@ -232,16 +293,20 @@ def minhash_band_candidates(
         )
         bands = part if bands is None else bands.unionByName(part)
     if bucket_cap is not None:
+        # the bucket census scales with n (one row per distinct band
+        # bucket) — shuffle-hash keeps AQE from building it as a driver
+        # broadcast at large n (see dedup_ngram_jaccard pair-first note)
         small = (
             bands.groupBy("band", "key")
             .agg(F.count("*").alias("bsz"))
             .filter(F.col("bsz") <= bucket_cap)
             .select("band", "key")
+            .hint("merge")
         )
         bands = bands.join(small, ["band", "key"], "left_semi")
     return (
         bands.alias("x")
-        .join(bands.alias("y"), ["band", "key"])
+        .join(bands.alias("y").hint("merge"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
@@ -254,6 +319,7 @@ def dedup_minhash_lsh(
     threshold: float = 0.04,
     text_col: str = "content",
     bucket_cap: int | None = _BUCKET_CAP,
+    auto_partitions: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): banded-LSH candidates (8 bands × 2 rows,
     stop-buckets above ``bucket_cap`` skipped) verified with exact
@@ -269,7 +335,15 @@ def dedup_minhash_lsh(
     The shingle relation is tokenized ONCE and cached (session-lifetime
     cache policy, CLAUDE.md): signatures, both verify sides and both
     size relations reuse it — without this the corpus is re-tokenized
-    five times per run (measured 5× wall-time at 200k docs)."""
+    five times per run (measured 5× wall-time at 200k docs).
+
+    ``auto_partitions`` applies the shingle-volume partition sizing
+    rule (dedup_shuffle_partitions) before building the plan — raises
+    the session's shuffle partitions so per-partition aggregate state
+    stays bounded as n grows (the 1.6M single-box OOM fix, made
+    automatic)."""
+    if auto_partitions:
+        _ensure_dedup_partitions(docs, text_col)
     sh = doc_shingles(docs, n, text_col).cache()
     cand = minhash_band_candidates(docs, n, text_col, bucket_cap, _shingles=sh)
     return dedup_ngram_jaccard(
@@ -403,6 +477,7 @@ def simhash_near_dup(
     text_col: str = "content",
     bucket_cap: int | None = _BUCKET_CAP,
     sims: DataFrame | None = None,
+    auto_partitions: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — SimHash near-duplicate pairs with
     Hamming distance ≤ ``t``, the C4/RefinedWeb-style fingerprint dedup
@@ -424,6 +499,10 @@ def simhash_near_dup(
     Verify is pair-first: the xor runs on the candidate pair rows,
     never on a bucket-keyed join output."""
     if sims is None:
+        if auto_partitions:
+            # the (doc, term, tf) relation is token-volume-sized — same
+            # partition sizing rule as the MinHash sweep
+            _ensure_dedup_partitions(docs, text_col)
         sims = simhash(docs, bits, text_col)
     nb = t + 1
     w = bits // nb

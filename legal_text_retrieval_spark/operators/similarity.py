@@ -1042,3 +1042,106 @@ SELECT vec_a, vec_b, cos FROM (
 WHERE cos >= {dlit(threshold)}
 ORDER BY vec_a, vec_b
 """
+
+
+# --------------------------------------------------- persisted IVF index
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    iters: int = _LLOYD_ITERS,
+    stride: int | None = None,
+    method: str = "matmul",
+) -> str:
+    """Train once, persist, probe many times — the IVF deployment shape
+    the in-memory ``ivf_trained_topk`` cannot measure (it re-trains per
+    call).  Writes under ``out_dir``:
+
+    - ``centroids/``  (centroid_id, ce) — small, broadcast at probe time
+    - ``lists/``      the inverted lists (vec_id, embedding) PARTITIONED
+      BY centroid_id, so a probe with an .isin literal list reads ONLY
+      the probed lists' files (partition pruning — the same pushdown
+      shape as the WAND term_id filter, index/wand.py)
+    - ``manifest.json``  n / dim / C / iters / stride
+
+    Training cost is O(iters · N·C) scans; probe cost is
+    N·nprobe/C per query batch, independent of training."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    if stride is None:
+        stride = ivf_auto_stride(n)
+    cents = ivf_trained_centroids(embeddings, iters, stride, method).cache()
+    n_cents = cents.count()
+    cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    assign = _centroid_scan(embeddings, cents, 1, "vec_id", "embedding", method).select(
+        "vec_id", "centroid_id"
+    )
+    (
+        embeddings.join(assign, "vec_id")
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{out_dir}/lists")
+    )
+    dim = len(embeddings.select("embedding").first()[0])
+    _Path(out_dir, "manifest.json").write_text(
+        _json.dumps(
+            {"n": n, "dim": dim, "n_centroids": n_cents, "iters": iters, "stride": stride}
+        )
+    )
+    cents.unpersist()
+    return out_dir
+
+
+def ivf_probe_indexed(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = _NPROBE,
+    method: str = "matmul",
+) -> DataFrame:
+    """(query_vec_id, vec_id, rank, cos) — probe a persisted IVF index
+    (build_ivf_index) with an arbitrary (vec_id, embedding) query
+    relation.  Probed centroid ids are collected (≤ queries × nprobe,
+    tiny) into an .isin literal so the lists scan is pruned to the
+    probed partitions; rescore is exact cosine inside those lists."""
+    cents = spark.read.parquet(f"{root}/centroids")
+    lists = spark.read.parquet(f"{root}/lists")
+    probes = (
+        _centroid_scan(queries, cents, nprobe, "vec_id", "embedding", method)
+        .withColumnRenamed("vec_id", "query_vec_id")
+        .select("query_vec_id", "centroid_id")
+    )
+    probes = probes.cache()
+    pids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
+    q = queries.select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        lists.filter(F.col("centroid_id").isin(pids))
+        .join(probes, "centroid_id")
+        .select("query_vec_id", "vec_id", "embedding")
+        .distinct()
+        .join(F.broadcast(q), "query_vec_id")
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .withColumn(
+            "cos",
+            F.expr(
+                round_sql(
+                    _DOT.format(a="qe", b="embedding")
+                    + " / (" + _NORM.format(a="qe") + " * " + _NORM.format(a="embedding") + ")",
+                    6,
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("cos"), F.desc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_vec_id", "vec_id", "rank", "cos")
+    )

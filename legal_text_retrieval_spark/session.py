@@ -44,3 +44,36 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def query_scope(spark: SparkSession, keep: tuple = ()):
+    """Batch-scoped cache lifecycle — the CLAUDE.md cache policy made
+    code.  Operator-internal ``.cache()`` calls (bm25 tf/ranked,
+    combine matched, WAND kernel output, dedup shingles/signatures) are
+    session-lifetime by design: the returned DataFrames consume them
+    lazily, so operators cannot unpersist before the caller's action.
+    A long-lived session issuing many DISTINCT query batches therefore
+    accumulates dead cache entries between Spark's LRU evictions.
+
+    Wrap each batch::
+
+        with query_scope(spark, keep=(corpus, queries)):
+            run_batch(...)
+
+    On exit every cached relation is dropped (``catalog.clearCache()``
+    — plan-keyed, so tracked per-entry unpersist is not reachable from
+    the public API) and the relations in ``keep`` are re-registered
+    with ``.cache()``; they re-materialize lazily on first use in the
+    next batch.  Long-lived ``FulltextIndex`` handles re-pin their
+    dictionary/docstats caches automatically on next access
+    (``FulltextIndex._pinned``)."""
+    try:
+        yield spark
+    finally:
+        spark.catalog.clearCache()
+        for df in keep:
+            df.cache()

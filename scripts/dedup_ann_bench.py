@@ -84,7 +84,7 @@ def emb_corpus(spark, n: int):
     return spark.read.parquet(path), planted
 
 
-def main(sizes: list[int]) -> None:
+def main(sizes: list[int], ops: set[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from legal_text_retrieval_spark.operators.dedup import (
@@ -107,105 +107,182 @@ def main(sizes: list[int]) -> None:
     def emit(**kw):
         print(json.dumps(kw), flush=True)
 
+    def want(op: str) -> bool:
+        return ops is None or op in ops
+
     for n in sizes:
-        docs, planted = text_corpus(spark, n)
-        docs = docs.cache()
-        docs.count()
+        if want("dedup_minhash_lsh") or want("dedup_keep"):
+            docs, planted = text_corpus(spark, n)
+            docs = docs.cache()
+            docs.count()
 
-        t0 = time.time()
-        found = {
-            (r.doc_a, r.doc_b)
-            for r in dedup_minhash_lsh(docs, threshold=0.5).collect()
-        }
-        lsh_s = time.time() - t0
-        n_cand = minhash_band_candidates(docs).count()
-        # ground truth = planted pairs whose EXACT jaccard clears the
-        # threshold (short docs lose all shingles to one mutation and
-        # legitimately fall below it) — computed with the candidate-
-        # bounded kernel on just the planted list, cheap at any n
-        from legal_text_retrieval_spark.operators.dedup import dedup_ngram_jaccard
+        if want("dedup_minhash_lsh"):
+            t0 = time.time()
+            found = {
+                (r.doc_a, r.doc_b)
+                for r in dedup_minhash_lsh(docs, threshold=0.5).collect()
+            }
+            lsh_s = time.time() - t0
+            n_cand = minhash_band_candidates(docs).count()
+            # ground truth = planted pairs whose EXACT jaccard clears the
+            # threshold (short docs lose all shingles to one mutation and
+            # legitimately fall below it) — computed with the candidate-
+            # bounded kernel on just the planted list, cheap at any n
+            from legal_text_retrieval_spark.operators.dedup import dedup_ngram_jaccard
 
-        planted_df = spark.createDataFrame(
-            sorted(planted), ["doc_a", "doc_b"]
-        )
-        planted = {
-            (r.doc_a, r.doc_b)
-            for r in dedup_ngram_jaccard(
-                docs, threshold=0.5, pairs=planted_df
-            ).collect()
-        }
-        emit(
-            op="dedup_minhash_lsh",
-            n=n,
-            seconds=round(lsh_s, 1),
-            pairs=len(found),
-            candidates=n_cand,
-            cand_vs_n2=round(n_cand / (n * (n - 1) / 2), 8),
-            planted=len(planted),
-            planted_recall=round(len(found & planted) / len(planted), 4),
-        )
+            planted_df = spark.createDataFrame(
+                sorted(planted), ["doc_a", "doc_b"]
+            )
+            planted = {
+                (r.doc_a, r.doc_b)
+                for r in dedup_ngram_jaccard(
+                    docs, threshold=0.5, pairs=planted_df
+                ).collect()
+            }
+            emit(
+                op="dedup_minhash_lsh",
+                n=n,
+                seconds=round(lsh_s, 1),
+                pairs=len(found),
+                candidates=n_cand,
+                cand_vs_n2=round(n_cand / (n * (n - 1) / 2), 8),
+                planted=len(planted),
+                planted_recall=round(len(found & planted) / len(planted), 4),
+                shuffle_partitions=int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+            )
 
-        t0 = time.time()
-        kept = dedup_keep(docs, threshold=0.5).count()
-        emit(op="dedup_keep", n=n, seconds=round(time.time() - t0, 1), kept=kept)
-        docs.unpersist()
+        if want("dedup_keep"):
+            # share leg 1's sweep when it ran (dedup_keep(pairs=...) is
+            # the documented shared-sweep mode): re-running the full
+            # LSH sweep inside the same session doubles live shuffle
+            # data and filled the disk at 1.6M docs
+            kw = {}
+            if want("dedup_minhash_lsh"):
+                kw["pairs"] = spark.createDataFrame(
+                    sorted(found), ["doc_a", "doc_b"]
+                )
+            t0 = time.time()
+            kept = dedup_keep(docs, threshold=0.5, **kw).count()
+            emit(
+                op="dedup_keep",
+                n=n,
+                seconds=round(time.time() - t0, 1),
+                kept=kept,
+                pairs_precomputed=bool(kw),
+            )
+        if want("dedup_minhash_lsh") or want("dedup_keep"):
+            docs.unpersist()
 
+        emb_ops = [
+            o
+            for o in ("ann_lsh_topk", "near_dup_pairs", "ivf_topk", "ivf_probe")
+            if want(o)
+        ]
+        if not emb_ops:
+            spark.catalog.clearCache()
+            continue
         emb, eplanted = emb_corpus(spark, n)
         emb = emb.cache()
         emb.count()
         rbits = lsh_auto_rbits(n, target_bucket=16)
         nq = len(range(0, n - 5, 50))
 
-        t0 = time.time()
-        hits = ann_lsh_topk(emb, k=5, nbands=8, rbits=rbits, dim=DIM).select(
-            "query_vec_id", "vec_id"
-        ).collect()
-        ann_s = time.time() - t0
-        got = {(r.query_vec_id, r.vec_id) for r in hits}
-        n_acand = ann_candidates(emb, nbands=8, rbits=rbits, dim=DIM).count()
-        emit(
-            op="ann_lsh_topk",
-            n=n,
-            queries=nq,
-            rbits=rbits,
-            seconds=round(ann_s, 1),
-            candidates=n_acand,
-            cand_vs_brute=round(n_acand / (nq * (n - 1)), 6),
-            planted=len(eplanted),
-            planted_recall=round(len(got & eplanted) / len(eplanted), 4),
-        )
+        if want("ann_lsh_topk"):
+            t0 = time.time()
+            hits = ann_lsh_topk(emb, k=5, nbands=8, rbits=rbits, dim=DIM).select(
+                "query_vec_id", "vec_id"
+            ).collect()
+            ann_s = time.time() - t0
+            got = {(r.query_vec_id, r.vec_id) for r in hits}
+            n_acand = ann_candidates(emb, nbands=8, rbits=rbits, dim=DIM).count()
+            emit(
+                op="ann_lsh_topk",
+                n=n,
+                queries=nq,
+                rbits=rbits,
+                seconds=round(ann_s, 1),
+                candidates=n_acand,
+                cand_vs_brute=round(n_acand / (nq * (n - 1)), 6),
+                planted=len(eplanted),
+                planted_recall=round(len(got & eplanted) / len(eplanted), 4),
+            )
 
-        t0 = time.time()
-        ndp = near_dup_pairs(emb, threshold=0.9, nbands=8, rbits=rbits, dim=DIM)
-        pair_rows = {(r.vec_a, r.vec_b) for r in ndp.collect()}
-        emit(
-            op="near_dup_pairs",
-            n=n,
-            seconds=round(time.time() - t0, 1),
-            pairs=len(pair_rows),
-            planted=len(eplanted),
-            planted_recall=round(
-                len(pair_rows & eplanted) / len(eplanted), 4
-            ),
-        )
-        stride = ivf_auto_stride(n)
-        t0 = time.time()
-        ihits = ivf_topk(
-            emb, k=5, nprobe=4, stride=stride, method="matmul"
-        ).select("query_vec_id", "vec_id").collect()
-        ivf_s = time.time() - t0
-        igot = {(r.query_vec_id, r.vec_id) for r in ihits}
-        emit(
-            op="ivf_topk",
-            n=n,
-            stride=stride,
-            n_centroids=n // stride,
-            nprobe=4,
-            method="matmul",
-            seconds=round(ivf_s, 1),
-            planted=len(eplanted),
-            planted_recall=round(len(igot & eplanted) / len(eplanted), 4),
-        )
+        if want("near_dup_pairs"):
+            t0 = time.time()
+            ndp = near_dup_pairs(emb, threshold=0.9, nbands=8, rbits=rbits, dim=DIM)
+            pair_rows = {(r.vec_a, r.vec_b) for r in ndp.collect()}
+            emit(
+                op="near_dup_pairs",
+                n=n,
+                seconds=round(time.time() - t0, 1),
+                pairs=len(pair_rows),
+                planted=len(eplanted),
+                planted_recall=round(
+                    len(pair_rows & eplanted) / len(eplanted), 4
+                ),
+            )
+        if want("ivf_probe"):
+            # build-once / probe-many split (round-3 VERDICT next #7):
+            # the trained index persists (centroids + centroid_id-
+            # partitioned inverted lists) and the probe leg measures
+            # ONLY query cost against it — the deployment shape where
+            # IVF earns its keep vs per-run banded LSH
+            from pyspark.sql import functions as F2
+
+            from legal_text_retrieval_spark.operators.similarity import (
+                QUERY_STRIDE,
+                build_ivf_index,
+                ivf_probe_indexed,
+            )
+
+            root = f"/tmp/lts_ivf_index_{n}"
+            t0 = time.time()
+            build_ivf_index(emb, root, iters=2, stride=None, method="matmul")
+            train_s = time.time() - t0
+            queries = emb.filter(F2.col("vec_id") % QUERY_STRIDE == 0)
+            probe = lambda: ivf_probe_indexed(  # noqa: E731
+                spark, root, queries, k=5, nprobe=4, method="matmul"
+            ).select("query_vec_id", "vec_id").collect()
+            probe()  # warm
+            t0 = time.time()
+            phits = probe()
+            probe_s = time.time() - t0
+            pgot = {(r.query_vec_id, r.vec_id) for r in phits}
+            man = json.loads(Path(root, "manifest.json").read_text())
+            emit(
+                op="ivf_probe",
+                n=n,
+                n_centroids=man["n_centroids"],
+                train_build_seconds=round(train_s, 1),
+                probe_only_seconds=round(probe_s, 1),
+                queries=nq,
+                nprobe=4,
+                planted=len(eplanted),
+                planted_recall=round(len(pgot & eplanted) / len(eplanted), 4),
+            )
+            shutil.rmtree(root, ignore_errors=True)
+
+        if want("ivf_topk"):
+            stride = ivf_auto_stride(n)
+            t0 = time.time()
+            ihits = ivf_topk(
+                emb, k=5, nprobe=4, stride=stride, method="matmul"
+            ).select("query_vec_id", "vec_id").collect()
+            ivf_s = time.time() - t0
+            igot = {(r.query_vec_id, r.vec_id) for r in ihits}
+            emit(
+                op="ivf_topk",
+                n=n,
+                stride=stride,
+                n_centroids=n // stride,
+                nprobe=4,
+                method="matmul",
+                seconds=round(ivf_s, 1),
+                planted=len(eplanted),
+                planted_recall=round(len(igot & eplanted) / len(eplanted), 4),
+            )
 
         emb.unpersist()
         spark.catalog.clearCache()
@@ -219,4 +296,7 @@ if __name__ == "__main__":
         if len(sys.argv) > 1
         else [200_000, 400_000, 800_000]
     )
-    main(sizes)
+    # optional 2nd arg: comma-separated op filter, e.g.
+    #   python scripts/dedup_ann_bench.py 1600000 dedup_minhash_lsh,dedup_keep
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    main(sizes, only)

@@ -175,8 +175,85 @@ def run_all(n_docs: int) -> dict:
     return summary
 
 
+def run_chunked(n_docs: int, cores: int = 16) -> dict:
+    """Chunked-path scale row (round-3 VERDICT next #5): docs ∪ chunks
+    index build, warm k=150 WAND batch + parent dedup, and
+    query_parents serving latency at ``n_docs`` — the composed
+    reference configuration measured beyond sf0.1."""
+    import numpy as np
+
+    from legal_text_retrieval_spark.config import NORTH_STAR_BM25
+    from legal_text_retrieval_spark.index.serving import LocalIndexServer
+    from legal_text_retrieval_spark.index.wand import query_topk
+    from legal_text_retrieval_spark.operators.chunk import (
+        build_chunked_index,
+        parent_dedup,
+    )
+    from legal_text_retrieval_spark.session import get_spark
+    from legal_text_retrieval_spark.sources.corpus import derived_queries
+
+    corpus = ensure_corpus(n_docs)
+    spark = get_spark(app_name=f"scaling-chunked-{cores}", master=f"local[{cores}]")
+    docs = spark.read.parquet(corpus).cache()
+    docs.count()
+    q = derived_queries(docs).limit(50).cache()
+    q.count()
+
+    out_dir = tempfile.mkdtemp(prefix="lts_scaling_cidx_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    index = build_chunked_index(
+        spark, docs, out_dir, NORTH_STAR_BM25, size=30, stride=15,
+        segment_doc_window=1 << 15,
+    )
+    build_s = time.time() - t0
+    n_rows = index.manifest["n_docs"]
+
+    def batch():
+        return parent_dedup(
+            query_topk(index, q, k=150).select("query_id", "doc_id", "rank")
+        ).count()
+
+    batch()  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        batch()
+        times.append(time.time() - t0)
+    batch_s = sorted(times)[1]
+
+    srv = LocalIndexServer.load(spark, out_dir)
+    qtexts = [r.query_text for r in q.collect()]
+    lats = []
+    for qt in qtexts:
+        t0 = time.time()
+        srv.query_parents(qt, 150)
+        lats.append((time.time() - t0) * 1000)
+    lats = np.sort(np.array(lats))
+    summary = {
+        "op": "chunked_index_scale",
+        "n_docs": n_docs,
+        "corpus_rows_with_chunks": int(n_rows),
+        "cores": cores,
+        "chunked_build_seconds": round(build_s, 1),
+        "rows_per_sec": round(n_rows / build_s, 1),
+        "wand_k150_batch_seconds_warm_50q": round(batch_s, 2),
+        "serving_query_parents_p50_ms": round(float(lats[len(lats) // 2]), 1),
+        "serving_query_parents_p95_ms": round(float(lats[int(len(lats) * 0.95)]), 1),
+    }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(summary))
+    return summary
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "run":
         run_one(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    elif sys.argv[1] == "chunked":
+        run_chunked(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 400_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 16,
+        )
     else:
         run_all(int(sys.argv[2]) if len(sys.argv) > 2 else N_DOCS_DEFAULT)

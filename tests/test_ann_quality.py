@@ -195,3 +195,35 @@ def test_lsh_signature_rejects_wrong_width(spark):
         lsh_signatures(bad).collect()  # default dim=64
     ok = lsh_signatures(bad, dim=32).collect()
     assert len(ok) == 1
+
+
+def test_ivf_probe_indexed_matches_trained(spark, clustered_emb, tmp_path):
+    """Persisted IVF (build_ivf_index → ivf_probe_indexed) must return
+    exactly what the in-memory trained path returns for the same
+    queries — the probe reads only the probed lists' partitions."""
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.operators.similarity import (
+        QUERY_STRIDE,
+        build_ivf_index,
+        ivf_probe_indexed,
+        ivf_trained_topk,
+    )
+
+    emb, _ = clustered_emb
+    root = str(tmp_path / "ivfidx")
+    build_ivf_index(emb, root, iters=2, stride=16, method="matmul")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    got = (
+        ivf_probe_indexed(spark, root, queries, k=5, nprobe=2, method="matmul")
+        .toPandas()
+        .sort_values(["query_vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ivf_trained_topk(emb, k=5, nprobe=2, iters=2, stride=16, method="matmul")
+        .toPandas()
+        .sort_values(["query_vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -123,3 +123,45 @@ def test_chunked_corpus_guards_id_space(spark):
     )
     with pytest.raises(Exception, match="CHUNK_ID_BASE"):
         chunked_corpus(docs, size=30, stride=15).collect()
+
+
+def test_query_scope_returns_storage_to_baseline(spark, tiny_docs, tiny_queries):
+    """VERDICT r3 next #8: wrapping a query batch in query_scope must
+    drop the operator-internal caches on exit (storage back to the
+    pre-batch level) while keep= relations re-register, and a live
+    FulltextIndex handle must re-pin its caches on next access."""
+    import tempfile
+
+    from legal_text_retrieval_spark.config import BM25Params, IndexParams
+    from legal_text_retrieval_spark.index import builder, wand
+    from legal_text_retrieval_spark.operators import bm25 as B
+    from legal_text_retrieval_spark.session import query_scope
+
+    spark.catalog.clearCache()
+    tiny_docs.cache().count()  # re-pin the session fixture
+    jsc = spark.sparkContext._jsc
+
+    root = tempfile.mkdtemp(prefix="lts_scope_idx_")
+    params = IndexParams(segment_doc_window=64, bm25=BM25Params(k1=1.2))
+    paths = builder.build_index(spark, tiny_docs, root, params)
+    index = wand.FulltextIndex.load(spark, paths.root)
+
+    with query_scope(spark, keep=(tiny_docs,)):
+        # a relational batch and an index batch both leave caches behind
+        B.bm25_topk(tiny_docs, tiny_queries, params.bm25, k=5).count()
+        before_exit = jsc.getPersistentRDDs().size()
+        first = wand.query_topk(index, tiny_queries, k=5).toPandas()
+        assert before_exit > 0
+
+    # operator caches gone; only the keep= re-registration remains
+    # (unmaterialized → 0 persistent RDDs until next action)
+    assert jsc.getPersistentRDDs().size() == 0
+    assert tiny_docs.storageLevel.useMemory  # keep= re-registered
+
+    # the index handle still works and re-pins its dictionary cache
+    again = wand.query_topk(index, tiny_queries, k=5).toPandas()
+    assert index.dictionary().storageLevel.useMemory
+    pd.testing.assert_frame_equal(
+        first.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
