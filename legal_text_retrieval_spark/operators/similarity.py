@@ -954,8 +954,13 @@ def near_dup_pairs(
     sig = lsh_band_signatures(embeddings, nbands, rbits, dim)
     a = sig.select(F.col("vec_id").alias("vec_a"), "band", "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    # every join side below scales with the corpus (signature self-join,
+    # candidate pairs, full embedding relations) — pin sort-merge so AQE
+    # cannot promote a compression-flattered side to a broadcast or a
+    # post-coalesce hash build (the dedup sweep's measured 8g failure
+    # modes, operators/dedup.py)
     cand = (
-        a.join(b, ["band", "sig"])
+        a.join(b.hint("merge"), ["band", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
@@ -963,8 +968,8 @@ def near_dup_pairs(
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        cand.join(ea.hint("merge"), "vec_a")
+        .join(eb.hint("merge"), "vec_b")
         .withColumn(
             "cos",
             F.expr(
