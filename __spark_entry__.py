@@ -403,6 +403,27 @@ def _q_ivf_trained_topk(spark, sf_dir):
     return ivf_trained_topk(_emb(spark, sf_dir))
 
 
+def _q_ivf_probe_topk(spark, sf_dir):
+    """Persisted-IVF serving path: train + write (centroids parquet,
+    centroid_id-partitioned inverted lists), then probe the index on
+    disk.  Bit-identical to the in-memory trained path (parity test) —
+    same DuckDB oracle as ivf_trained_topk."""
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        QUERY_STRIDE,
+        build_ivf_index,
+        ivf_probe_indexed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = f"/tmp/lts_ivf_gate/{Path(sf_dir.rstrip('/')).name}"
+    build_ivf_index(emb, root, stride=CENTROID_STRIDE, method="expr")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    return ivf_probe_indexed(spark, root, queries, method="expr")
+
+
 def _q_ivf_trained_recall(spark, sf_dir):
     from legal_text_retrieval_spark.operators.similarity import ivf_trained_recall
 
@@ -826,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_trained_centroids": _q_ivf_trained_centroids,
         "ivf_trained_topk": _q_ivf_trained_topk,
+        "ivf_probe_topk": _q_ivf_probe_topk,
         "ivf_trained_recall": _q_ivf_trained_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "ensemble_predictions": _q_ensemble,
@@ -943,6 +965,7 @@ USING (query_id, doc_id) WHERE r2.hit IS NULL
         "ivf_recall": SIM.ivf_recall_sql("embeddings"),
         "ivf_trained_centroids": SIM.ivf_trained_centroids_sql("embeddings"),
         "ivf_trained_topk": SIM.ivf_trained_topk_sql("embeddings"),
+        "ivf_probe_topk": SIM.ivf_trained_topk_sql("embeddings"),
         "ivf_trained_recall": SIM.ivf_trained_recall_sql("embeddings"),
         "embedding_near_dup": SIM.near_dup_pairs_sql("embeddings"),
         "token_counts": TS.token_counts_sql("documents"),

@@ -518,16 +518,19 @@ def simhash_near_dup(
         F.explode(F.expr("array(" + ",".join(structs) + ")")).alias("x"),
     ).select("doc_id", "simhash", F.col("x.band").alias("band"), F.col("x.bv").alias("bv"))
     if bucket_cap is not None:
+        # census + self-join sides scale with the corpus — pin
+        # sort-merge (see dedup_ngram_jaccard's AQE note)
         small = (
             bands.groupBy("band", "bv")
             .agg(F.count("*").alias("bsz"))
             .filter(F.col("bsz") <= bucket_cap)
             .select("band", "bv")
+            .hint("merge")
         )
         bands = bands.join(small, ["band", "bv"], "left_semi")
     return (
         bands.alias("x")
-        .join(bands.alias("y"), ["band", "bv"])
+        .join(bands.alias("y").hint("merge"), ["band", "bv"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),

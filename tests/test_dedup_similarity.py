@@ -360,3 +360,29 @@ def test_simhash_near_dup_pairs_exact_and_planted(spark):
     }
     assert got == want  # exact recall AND no false pairs
     assert (0, 100) in got and (1, 101) in got  # planted dups found
+
+
+def test_minhash_lsh_plan_has_no_broadcast_or_hash_joins(spark):
+    """8g-heap guard (round-4 BASELINE failure modes): every join in
+    the sweep's physical plan must be a SortMergeJoin — AQE's
+    compressed-size statistics otherwise promote corpus-scale sides to
+    driver-built broadcasts, and hash-build strategies explode on
+    decompressed shingle partitions after AQE coalescing (both
+    measured fatal at 1.6M docs / 8g)."""
+    from legal_text_retrieval_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        simhash_near_dup,
+    )
+
+    rows = [
+        {"doc_id": i, "content": " ".join(f"w{i}_{j}" for j in range(25))}
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    for out in (
+        dedup_minhash_lsh(docs, threshold=0.5),
+        simhash_near_dup(docs, t=3),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
