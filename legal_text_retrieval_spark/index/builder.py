@@ -426,6 +426,24 @@ def build_index(
     manifest["min_idf"] = float(dictionary.agg(F.min("idf")).collect()[0][0])
 
     # -- stage: postings (segment-partitioned, packed, block-max metadata)
+    # Pack-shuffle partition count scales with posting volume
+    # (total_tokens is an exact upper bound on postings — Σ dl is
+    # already in hand), bounding per-partition sort/pack state instead
+    # of pinning it to core count: at 3.2M docs the 149M-posting pack
+    # through defaultParallelism partitions needed a 24g heap; sized
+    # partitions keep the per-task working set flat as the corpus
+    # grows.  Same sizing rule as operators/dedup.py
+    # (dedup_shuffle_partitions); never below the core count.
+    pack_parts = int(
+        min(
+            4096,
+            max(
+                max(1, spark.sparkContext.defaultParallelism),
+                int(total_tokens) // 4_000_000 + 1,
+            ),
+        )
+    )
+
     def make_postings():
         flat = (
             termfreq.join(F.broadcast(dictionary.select("term", "term_id")), "term")
@@ -436,15 +454,13 @@ def build_index(
         # hash-partition by group key, sort within partitions, stream-pack:
         # ONE shuffle, contiguous runs, no pandas per-group overhead.
         packed = (
-            flat.repartition(
-                max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
-            )
+            flat.repartition(pack_parts, "term_id", "seg_id")
             .sortWithinPartitions("term_id", "seg_id", "doc_id")
             .mapInPandas(_make_pack_fn(params, avgdl), POSTINGS_SCHEMA)
         )
         # cluster by term_id for parquet row-group min/max pruning at query time
         return packed.repartitionByRange(
-            max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
+            pack_parts, "term_id", "seg_id"
         ).sortWithinPartitions("term_id", "seg_id")
 
     stage("postings", paths.postings, make_postings)
