@@ -504,6 +504,9 @@ def _best_centroids_matmul(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # Driver-side collect is bounded by C·d (C ≈ √n centroids × dim):
+    # ~32k rows × 64 floats ≈ 16 MB even at 10⁹ docs — broadcast-sized
+    # by construction, not a scale risk.
     cent_rows = cents.orderBy("centroid_id").collect()
     cids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
     M = np.stack([np.asarray(r["ce"], dtype=np.float64) for r in cent_rows])
@@ -937,6 +940,68 @@ ORDER BY query_vec_id
 """
 
 
+def embedding_shuffle_partitions(
+    n: int,
+    nbands: int,
+    rbits: int,
+    dim: int,
+    default_parallelism: int,
+    bytes_per_partition: int = 256 << 20,
+    max_partitions: int = 4_096,
+) -> int:
+    """Shuffle-partition count bounding the near-dup sweep's fattest
+    shuffle: the candidate-pair hydrate join, which moves TWO dim-float
+    embeddings per candidate.  Expected candidates for hashed buckets
+    ≈ n · nbands · (n / 2^rbits) / 2 (bucket occupancy n/2^rbits), so
+    payload ≈ cand · (2·8·dim + 16) bytes; partitions must grow with
+    that volume, not stay at the session default — the same sizing
+    lesson as dedup_shuffle_partitions (operators/dedup.py) and the
+    index pack stage (index/builder.py).  AQE coalesces small shuffles
+    back down, so raising is free at small n."""
+    occupancy = n / float(1 << min(rbits, 62))
+    est_cand = n * nbands * occupancy / 2.0
+    est_bytes = est_cand * (2 * 8 * dim + 16)
+    return int(
+        min(
+            max_partitions,
+            max(max(1, default_parallelism), int(est_bytes // bytes_per_partition) + 1),
+        )
+    )
+
+
+def _ensure_embedding_partitions(
+    embeddings: DataFrame, nbands: int, rbits: int, dim: int
+) -> None:
+    """Raise (never lower) the session's shuffle partitions to the
+    embedding near-dup sizing rule.  Session-level for the same reason
+    as dedup._ensure_dedup_partitions: the returned DataFrame is lazy,
+    so the conf must still hold at action time.  One count() probe."""
+    spark = embeddings.sparkSession
+    want = embedding_shuffle_partitions(
+        embeddings.count(),
+        nbands,
+        rbits,
+        dim,
+        max(1, spark.sparkContext.defaultParallelism),
+    )
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if want > cur:
+        spark.conf.set("spark.sql.shuffle.partitions", str(want))
+    # Raising shuffle.partitions alone is NOT enough here: AQE
+    # coalesces by COMPRESSED shuffle size, and the candidate-pair
+    # shuffle (two random longs per row) re-coalesced a sized 303-way
+    # shuffle down to 31 post-shuffle tasks at 1.6M vectors — each
+    # task then hydrated ~2M pairs × 2 embeddings and OOMed an 8g heap
+    # exactly like the unsized run.  Pin the AQE floor to the sized
+    # count so coalescing can merge down to it but never below.
+    try:
+        floor = int(spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionNum"))
+    except Exception:
+        floor = 0
+    if want > floor:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(want))
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
@@ -951,6 +1016,7 @@ def near_dup_pairs(
     bands raises recall without widening any bucket).  Recall < 1 by
     design; ``near_dup_pairs_exact`` is the all-pairs oracle for recall
     measurement (tests/test_dedup_similarity.py)."""
+    _ensure_embedding_partitions(embeddings, nbands, rbits, dim)
     sig = lsh_band_signatures(embeddings, nbands, rbits, dim)
     a = sig.select(F.col("vec_id").alias("vec_a"), "band", "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band", "sig")

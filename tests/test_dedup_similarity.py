@@ -386,3 +386,65 @@ def test_minhash_lsh_plan_has_no_broadcast_or_hash_joins(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan, plan
         assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_embedding_shuffle_partitions_sizing(spark):
+    """The near-dup sweep's shuffle-partition rule: grows with expected
+    candidate-hydrate volume (n · nbands · n/2^rbits pairs × 2 dim-float
+    embeddings), never below default parallelism, capped at 4096 — and
+    near_dup_pairs raises (never lowers) the session conf, mirroring
+    dedup._ensure_dedup_partitions."""
+    import math
+
+    from legal_text_retrieval_spark.operators.similarity import (
+        embedding_shuffle_partitions,
+        near_dup_pairs,
+    )
+
+    # tiny n → floor at default parallelism
+    assert embedding_shuffle_partitions(8_000, 8, 9, 64, 16) == 16
+    # auto-sized rbits keeps bucket occupancy ~16 → partitions grow
+    # roughly linearly in n (payload ≈ n · nbands · 16/2 · 1KB)
+    sized = [
+        embedding_shuffle_partitions(
+            n, 8, max(1, math.ceil(math.log2(max(2.0, n / 16)))), 64, 16
+        )
+        for n in (200_000, 800_000, 1_600_000)
+    ]
+    assert sized == sorted(sized) and sized[-1] > 16, sized
+    # hard cap
+    assert embedding_shuffle_partitions(10**9, 8, 26, 64, 16) == 4096
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(20),
+                "embedding": [rng.normal(size=16).astype(np.float32).tolist() for _ in range(20)],
+            }
+        )
+        near_dup_pairs(spark.createDataFrame(pdf), threshold=0.9, dim=16).collect()
+        # tiny input: conf must NOT have been lowered
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= cur
+
+        # large-n path: both the shuffle width AND the AQE coalesce
+        # floor must rise to the sized count — AQE re-coalescing a
+        # sized shuffle below it is the measured 1.6M/8g OOM mode
+        from legal_text_retrieval_spark.operators.similarity import (
+            _ensure_embedding_partitions,
+        )
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            type(spark.createDataFrame(pdf)), "count", lambda self: 1_600_000
+        ):
+            _ensure_embedding_partitions(spark.createDataFrame(pdf), 8, 17, 64)
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= 303
+        assert (
+            int(spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionNum"))
+            >= 303
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionNum")
