@@ -109,6 +109,20 @@ def _ensure_dedup_partitions(docs: DataFrame, text_col: str) -> None:
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if want > cur:
         spark.conf.set("spark.sql.shuffle.partitions", str(want))
+    # Pin the AQE coalesce floor to the sized count as well: AQE
+    # coalesces by COMPRESSED shuffle size, and the embedding near-dup
+    # sweep measured it re-coalescing a sized 303-way shuffle to 31
+    # tasks at 1.6M rows (similarity._ensure_embedding_partitions),
+    # recreating the OOM the sizing exists to prevent.  The text sweep
+    # survived at 1.6M because shingle rows compress worse, but the
+    # hazard is the same class — floor it.  Raise-only, so AQE still
+    # coalesces small shuffles down TO the sized count.
+    try:
+        floor = int(spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionNum"))
+    except Exception:
+        floor = 0
+    if want > floor:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(want))
 
 
 def _shingles_sql(table: str, n: int, text_col: str) -> str:
