@@ -418,7 +418,12 @@ def _q_ivf_probe_topk(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    root = f"/tmp/lts_ivf_gate/{Path(sf_dir.rstrip('/')).name}"
+    # pid-keyed root: two concurrent gate processes on the same sf dir
+    # must not race on lists/centroids (within-process reruns still
+    # reuse the build via build_ivf_index's input fingerprint)
+    import os
+
+    root = f"/tmp/lts_ivf_gate/{os.getpid()}/{Path(sf_dir.rstrip('/')).name}"
     build_ivf_index(emb, root, stride=CENTROID_STRIDE, method="expr")
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     return ivf_probe_indexed(spark, root, queries, method="expr")

@@ -44,6 +44,13 @@ from ..functions.ids import DISTRIBUTED_ID_THRESHOLD, assign_dense_ids
 from ..operators import stats as ops_stats
 from . import codec
 
+# Single source of truth for the on-disk index layout version: the
+# builder writes it into every manifest and FulltextIndex/serving
+# require it at load (wand.FulltextIndex.REQUIRED_FORMAT_VERSION is
+# this same constant, so the writer and the readers cannot drift).
+# Bump on any layout change (v3 = min_idf + block-max layout).
+FORMAT_VERSION = 3
+
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("build_part", T.IntegerType()),  # producing shuffle partition
@@ -350,7 +357,7 @@ def build_index(
     # flat term-ordered fold carry no eps_fold key and must be rebuilt,
     # not trusted (the md5-bucketed two-level fold changes ε in the last
     # ulps, so scores/oracle hashes are version-incompatible).
-    manifest: dict = {"format_version": 3,
+    manifest: dict = {"format_version": FORMAT_VERSION,
                       "eps_fold": "md5-bucketed-1024-two-level",
                       "params": {**asdict(params.bm25), "block_size": params.block_size,
                                  "segment_doc_window": params.segment_doc_window},

@@ -42,7 +42,7 @@ from pyspark.sql import types as T
 
 from ..config import BM25Params
 from . import codec
-from .builder import IndexPaths
+from .builder import FORMAT_VERSION, IndexPaths
 
 # max distinct query term_ids pushed down as an .isin literal list
 # (parquet min/max pruning); larger batches use a broadcast semi-join
@@ -65,10 +65,13 @@ class FulltextIndex:
     manifest: dict
 
     # manifest invariants an index must carry to be scored correctly:
-    # eps_fold (okapi ε provenance) and format_version 3 (min_idf +
-    # block-max layout).  merge.py guards the same keys pairwise
-    # (_COMPAT_KEYS); load guards them absolutely.
-    REQUIRED_FORMAT_VERSION = 3
+    # eps_fold (okapi ε provenance) and the current format_version
+    # (min_idf + block-max layout).  merge.py guards the same keys
+    # pairwise (_COMPAT_KEYS); load guards them absolutely.  The value
+    # is builder.FORMAT_VERSION — the writer's constant — so a layout
+    # bump cannot leave readers accepting stale indexes (or rejecting
+    # fresh ones).
+    REQUIRED_FORMAT_VERSION = FORMAT_VERSION
 
     @classmethod
     def load(

@@ -308,8 +308,9 @@ def minhash_band_candidates(
         bands = part if bands is None else bands.unionByName(part)
     if bucket_cap is not None:
         # the bucket census scales with n (one row per distinct band
-        # bucket) — shuffle-hash keeps AQE from building it as a driver
-        # broadcast at large n (see dedup_ngram_jaccard pair-first note)
+        # bucket) — pinned sort-merge keeps AQE from building it as a
+        # driver-side broadcast/hash build at large n (see
+        # dedup_ngram_jaccard pair-first note)
         small = (
             bands.groupBy("band", "key")
             .agg(F.count("*").alias("bsz"))
@@ -445,7 +446,19 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "content") -> DataF
     One groupBy with ``bits`` conditional-sum aggregates over the
     (doc, term, tf) relation — no per-bit row explosion (the naive
     explode multiplies the termfreq shuffle 32×; integer sums are
-    order-free, so the fold needs no ordering)."""
+    order-free, so the fold needs no ordering).
+
+    ``bits`` is capped at 62: the fingerprint is a signed BIGINT, so
+    bit 63 (sign) cannot be set (CAST(2^63 AS BIGINT) overflows) and a
+    negative fingerprint corrupts shiftright-based band extraction in
+    ``simhash_near_dup``.  60 is the recommended web-scale width (t ≤ 3
+    → 15-bit bands)."""
+    if bits > 62:
+        raise ValueError(
+            f"simhash bits={bits} > 62: the fingerprint is a signed BIGINT; "
+            "bit 63 overflows and negative values corrupt shiftright band "
+            "extraction — use ≤ 62 (60 recommended)"
+        )
     tf = (
         docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
@@ -512,6 +525,11 @@ def simhash_near_dup(
     band, so only pairs whose every agreeing band is hot are lost.
     Verify is pair-first: the xor runs on the candidate pair rows,
     never on a bucket-keyed join output."""
+    if bits > 62:
+        raise ValueError(
+            f"simhash bits={bits} > 62: signed-BIGINT fingerprints corrupt "
+            "shiftright band extraction above bit 62 — use ≤ 62 (60 recommended)"
+        )
     if sims is None:
         if auto_partitions:
             # the (doc, term, tf) relation is token-volume-sized — same

@@ -448,3 +448,16 @@ def test_embedding_shuffle_partitions_sizing(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(cur))
         spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionNum")
+
+
+def test_simhash_rejects_bits_above_62(spark, dup_docs):
+    """Signed-BIGINT fingerprints cannot carry bits 63/64 — the guard
+    must refuse instead of silently corrupting band extraction."""
+    from legal_text_retrieval_spark.operators.dedup import simhash, simhash_near_dup
+
+    with pytest.raises(ValueError, match="62"):
+        simhash(dup_docs, bits=64)
+    with pytest.raises(ValueError, match="62"):
+        simhash_near_dup(dup_docs, bits=63)
+    # 62 itself is legal (top usable bit of a signed 64-bit value)
+    assert simhash(dup_docs, bits=62).count() == dup_docs.count()
