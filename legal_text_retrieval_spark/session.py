@@ -48,9 +48,25 @@ def get_spark(
 
 from contextlib import contextmanager  # noqa: E402
 
+# Session confs the volume-based partition-sizing helpers raise and
+# never lower (dedup._ensure_dedup_partitions,
+# similarity._ensure_embedding_partitions — raise-only by necessity:
+# the returned DataFrames are lazy, so the conf must still hold at the
+# caller's action).  query_scope snapshots these on entry and restores
+# them on exit so one large sweep doesn't pin every later small query
+# in the session to a hundreds-high AQE coalesce floor.
+SIZED_SHUFFLE_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+)
+
 
 @contextmanager
-def query_scope(spark: SparkSession, keep: tuple = ()):
+def query_scope(
+    spark: SparkSession,
+    keep: tuple = (),
+    restore_conf: tuple = SIZED_SHUFFLE_CONFS,
+):
     """Batch-scoped cache lifecycle — the CLAUDE.md cache policy made
     code.  Operator-internal ``.cache()`` calls (bm25 tf/ranked,
     combine matched, WAND kernel output, dedup shingles/signatures) are
@@ -70,10 +86,29 @@ def query_scope(spark: SparkSession, keep: tuple = ()):
     with ``.cache()``; they re-materialize lazily on first use in the
     next batch.  Long-lived ``FulltextIndex`` handles re-pin their
     dictionary/docstats caches automatically on next access
-    (``FulltextIndex._pinned``)."""
+    (``FulltextIndex._pinned``).
+
+    The confs in ``restore_conf`` (default: the two the sweep
+    partition-sizing helpers raise) are snapshotted on entry and
+    restored — or unset, if they were unset — on exit, making the
+    raise-only sizing batch-scoped instead of session-permanent."""
+    snapshot: dict[str, str | None] = {}
+    for key in restore_conf or ():
+        try:
+            snapshot[key] = spark.conf.get(key)
+        except Exception:
+            snapshot[key] = None  # unset before the batch → unset after
     try:
         yield spark
     finally:
+        for key, val in snapshot.items():
+            try:
+                if val is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, val)
+            except Exception:
+                pass
         spark.catalog.clearCache()
         for df in keep:
             df.cache()

@@ -100,7 +100,7 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
         lsh_auto_rbits,
         near_dup_pairs,
     )
-    from legal_text_retrieval_spark.session import get_spark
+    from legal_text_retrieval_spark.session import get_spark, query_scope
 
     spark = get_spark(app_name="dedup-ann-bench", master="local[16]")
 
@@ -111,7 +111,14 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
         return ops is None or op in ops
 
     for n in sizes:
+        # query_scope restores the sweep-raised sized-shuffle confs
+        # (shuffle.partitions + AQE coalesce floor) after each leg
+        # group, so one 1.6M sweep doesn't pin later (smaller) legs —
+        # or anything else in a shared session — to its floor.
+        text_scope = None
         if want("dedup_minhash_lsh") or want("dedup_keep"):
+            text_scope = query_scope(spark)
+            text_scope.__enter__()
             docs, planted = text_corpus(spark, n)
             docs = docs.cache()
             docs.count()
@@ -172,8 +179,9 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
                 kept=kept,
                 pairs_precomputed=bool(kw),
             )
-        if want("dedup_minhash_lsh") or want("dedup_keep"):
+        if text_scope is not None:
             docs.unpersist()
+            text_scope.__exit__(None, None, None)
 
         emb_ops = [
             o
@@ -183,6 +191,8 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
         if not emb_ops:
             spark.catalog.clearCache()
             continue
+        emb_scope = query_scope(spark)
+        emb_scope.__enter__()
         emb, eplanted = emb_corpus(spark, n)
         emb = emb.cache()
         emb.count()
@@ -285,6 +295,7 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
             )
 
         emb.unpersist()
+        emb_scope.__exit__(None, None, None)
         spark.catalog.clearCache()
 
     spark.stop()

@@ -165,3 +165,52 @@ def test_query_scope_returns_storage_to_baseline(spark, tiny_docs, tiny_queries)
         first.sort_values(["query_id", "rank"]).reset_index(drop=True),
         again.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_query_scope_restores_sized_shuffle_confs(spark, tiny_docs):
+    """VERDICT r4 next #3: the sweep partition-sizing helpers raise
+    spark.sql.shuffle.partitions AND the AQE coalesce floor for the
+    batch; query_scope must restore both on exit (floor back to unset)
+    so a later small query is not pinned to hundreds of tasks."""
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.operators import dedup as DD
+    from legal_text_retrieval_spark.session import query_scope
+
+    FLOOR_KEY = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.unset(FLOOR_KEY)
+    except Exception:
+        pass
+
+    with query_scope(spark):
+        # stand in for a large corpus: make the sizing rule ask for 777
+        # and drive the real raise-only helper
+        orig = DD.dedup_shuffle_partitions
+        DD.dedup_shuffle_partitions = lambda *a, **k: 777
+        try:
+            DD._ensure_dedup_partitions(tiny_docs, "content")
+        finally:
+            DD.dedup_shuffle_partitions = orig
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "777"
+        assert spark.conf.get(FLOOR_KEY) == "777"
+        # a sweep-shaped action under the raised confs
+        tiny_docs.groupBy("doc_id").count().count()
+
+    # both confs restored: partitions back to baseline, floor unset
+    # (PySpark 4 returns None for an unset optional conf)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == base_parts
+    assert spark.conf.get(FLOOR_KEY) is None
+
+    # and a small query's post-shuffle tasks return to the coalesced
+    # baseline: every observed partition id < the baseline partition
+    # count (a stuck 777 floor would scatter rows across ids ≫ that)
+    ids = (
+        tiny_docs.groupBy("doc_id")
+        .count()
+        .select(F.spark_partition_id().alias("pid"))
+        .agg(F.max("pid"))
+        .collect()[0][0]
+    )
+    assert ids < int(base_parts)
