@@ -5,10 +5,13 @@ documents and produces an index bit-identical to a fresh build over
 the surviving corpus (tests/test_index_delete.py), without re-running
 the build shuffle:
 
-- **postings**: one map-only pass over the packed rows — decode,
-  mask out deleted doc_ids (broadcast sorted array; deletes are
-  batch-sized, not corpus-sized), re-pack against the NEW avgdl
-  (maxima recompute is mandatory: avgdl moves when docs leave).
+- **postings**: one pass over the packed rows — decode, mask out
+  deleted doc_ids, re-pack against the NEW avgdl (maxima recompute is
+  mandatory: avgdl moves when docs leave).  Batch deletes (iterable
+  input) broadcast the sorted id array and stay map-only; bulk deletes
+  (DataFrame input, e.g. 10⁸ ids from a dedup sweep) never touch the
+  driver — ids group into per-segment sorted lists merge-joined on
+  seg_id, so per-row state is bounded by segment_doc_window.
   Surviving doc_ids/deltas are unchanged, so segments re-encode to
   the bytes a rebuild would produce.
 - **dictionary**: df is recomputed FROM the filtered packed rows
@@ -96,6 +99,64 @@ def _make_delete_fn(params, avgdl: float, deleted_bc):
     return fn
 
 
+def _make_delete_join_fn(params, avgdl: float):
+    """Bulk-delete kernel: like ``_make_delete_fn`` but the deleted ids
+    arrive as a per-row ``_deleted`` array column (the packed rows were
+    left-joined to the per-segment deleted-id lists), so no driver
+    collect or broadcast variable is needed — delete sets of any size
+    stay distributed.  A row with ``_deleted`` null belongs to a
+    segment with no deletions; it still re-packs (block maxima depend
+    on the post-delete avgdl)."""
+    window = params.segment_doc_window
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        out = []
+
+        def emit():
+            pdf = pd.DataFrame(out)
+            pdf["build_part"] = pid
+            return pdf
+
+        for pdf in batches:
+            for term_id, seg_id, ids_enc, tfs_enc, dls_enc, dels in zip(
+                pdf["term_id"].to_numpy(np.int64),
+                pdf["seg_id"].to_numpy(np.int64),
+                pdf["doc_ids_enc"],
+                pdf["tfs_enc"],
+                pdf["dls_enc"],
+                pdf["_deleted"],
+            ):
+                base = int(seg_id) * window
+                d = codec.decode_docids(bytes(ids_enc), base)
+                if dels is None:
+                    keep = np.ones(len(d), dtype=bool)
+                else:
+                    # sorted by construction (sort_array) → searchsorted
+                    # membership, no per-row np.isin hash build
+                    dels = np.asarray(dels, dtype=np.int64)
+                    pos = np.searchsorted(dels, d)
+                    pos[pos == len(dels)] = 0
+                    keep = dels[pos] != d
+                if not keep.any():
+                    continue
+                t = codec.decode_varint(bytes(tfs_enc)).astype(np.int64)[keep]
+                l = codec.decode_varint(bytes(dls_enc)).astype(np.int64)[keep]
+                out.append(
+                    _pack_group(int(term_id), int(seg_id), d[keep], t, l, params, avgdl)
+                )
+                if len(out) >= 256:
+                    yield emit()
+                    out = []
+        if out:
+            yield emit()
+
+    return fn
+
+
 def delete_docs(
     spark: SparkSession,
     root: str,
@@ -103,20 +164,59 @@ def delete_docs(
     out_dir: str,
     resume: bool = True,
 ) -> IndexPaths:
-    """Delete ``doc_ids`` (iterable of int, or a single-column
-    DataFrame) from the index at ``root`` into a new index at
-    ``out_dir`` — bit-identical to a rebuild over the surviving docs."""
-    if isinstance(doc_ids, DataFrame):
-        doc_ids = [r[0] for r in doc_ids.collect()]
-    deleted = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    """Delete ``doc_ids`` from the index at ``root`` into a new index
+    at ``out_dir`` — bit-identical to a rebuild over the surviving docs.
+
+    Two input shapes, one result:
+
+    - **iterable of int** (batch deletes — takedowns, upsert overlaps):
+      ids are broadcast and the postings pass stays map-only.
+    - **single-column DataFrame** (bulk deletes — dedup-sweep feedback,
+      license filtering at 10⁸ ids): never collected to the driver.
+      The ids are grouped into per-segment sorted lists (≤
+      segment_doc_window ids each, so per-row state is bounded) and
+      sort-merge-joined to the packed rows on ``seg_id`` — one shuffle
+      proportional to index size, no driver materialization anywhere
+      in the plan.  The resume fingerprint likewise derives from an
+      order-independent distributed digest (count/xxhash-sum/min/max),
+      not the literal id list."""
     src = IndexPaths(root)
     m = json.loads(Path(src.manifest).read_text())
     params = _params_from_manifest(m)
     paths = IndexPaths(out_dir)
 
+    bulk = isinstance(doc_ids, DataFrame)
+    if bulk:
+        id_col = doc_ids.columns[0]
+        del_df = (
+            doc_ids.select(F.col(id_col).cast("long").alias("doc_id"))
+            .distinct()
+            .cache()
+        )
+        deleted = None
+    else:
+        deleted = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        del_df = spark.createDataFrame([(int(x),) for x in deleted], "doc_id bigint")
+
+    # order-independent delete-set digest — same recipe for both input
+    # shapes, so a list delete and the equivalent DataFrame delete
+    # resume each other's artifacts
+    drow = del_df.agg(
+        F.count("*").alias("n"),
+        # decimal(38,0) sum: a BIGINT sum of 64-bit hashes overflows
+        # under ANSI mode; decimal38 holds ~1e38 ≫ 9e18 × 10⁸ ids
+        F.coalesce(F.sum(F.xxhash64("doc_id").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+        F.coalesce(F.min("doc_id"), F.lit(0)).alias("lo"),
+        F.coalesce(F.max("doc_id"), F.lit(0)).alias("hi"),
+    ).collect()[0]
+    n_del_ids = int(drow.n)
+
     ds = spark.read.parquet(src.docstats)
-    del_df = spark.createDataFrame([(int(x),) for x in deleted], "doc_id bigint")
-    dropped = ds.join(F.broadcast(del_df), "doc_id", "left_semi")
+    # semi-join sizing: a broadcast of a 10⁸-id bulk delete set is the
+    # AQE-broadcast OOM hazard — pin sort-merge there, broadcast the
+    # small batch case
+    sized_del = del_df.hint("merge") if bulk else F.broadcast(del_df)
+    dropped = ds.join(sized_del, "doc_id", "left_semi")
     n_dropped, tokens_dropped = dropped.agg(
         F.count("*"), F.coalesce(F.sum("dl"), F.lit(0))
     ).collect()[0]
@@ -127,7 +227,7 @@ def delete_docs(
     avgdl = float(total_tokens) / n_docs
     input_fp = input_fingerprint(
         "delete", root, m.get("n_docs"), m.get("total_tokens"),
-        [int(x) for x in deleted],
+        "digest-v2", n_del_ids, int(drow.h), int(drow.lo), int(drow.hi),
     )
     manifest: dict = {
         "format_version": m["format_version"],
@@ -169,20 +269,36 @@ def delete_docs(
     stage(
         "docs",
         paths.docs,
-        lambda: spark.read.parquet(src.docs).join(del_df, "doc_id", "left_anti"),
+        lambda: spark.read.parquet(src.docs).join(sized_del, "doc_id", "left_anti"),
     )
-    stage("docstats", paths.docstats, lambda: ds.join(del_df, "doc_id", "left_anti"))
+    stage("docstats", paths.docstats, lambda: ds.join(sized_del, "doc_id", "left_anti"))
 
-    # -- filtered postings under OLD term_ids (one map-only pass)
-    deleted_bc = spark.sparkContext.broadcast(deleted)
+    # -- filtered postings under OLD term_ids: map-only with a
+    # broadcast id set (batch deletes), or a seg_id merge-join against
+    # per-segment sorted id lists (bulk DataFrame deletes — no driver
+    # collect, per-row list bounded by segment_doc_window)
     filtered_path = f"{out_dir}/_postings_filtered"
     if not (resume and _done(filtered_path)):
-        (
-            spark.read.parquet(src.postings)
-            .mapInPandas(_make_delete_fn(params, avgdl, deleted_bc), POSTINGS_SCHEMA)
-            .write.mode("overwrite")
-            .parquet(filtered_path)
-        )
+        postings_src = spark.read.parquet(src.postings)
+        if bulk:
+            window = params.segment_doc_window
+            seg_del = (
+                del_df.select(
+                    "doc_id",
+                    F.floor(F.col("doc_id") / window).cast("long").alias("seg_id"),
+                )
+                .groupBy("seg_id")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("_deleted"))
+            )
+            repacked = postings_src.join(seg_del.hint("merge"), "seg_id", "left").mapInPandas(
+                _make_delete_join_fn(params, avgdl), POSTINGS_SCHEMA
+            )
+        else:
+            deleted_bc = spark.sparkContext.broadcast(deleted)
+            repacked = postings_src.mapInPandas(
+                _make_delete_fn(params, avgdl, deleted_bc), POSTINGS_SCHEMA
+            )
+        repacked.write.mode("overwrite").parquet(filtered_path)
     filtered = spark.read.parquet(filtered_path)
 
     # -- dictionary: df from the filtered rows (df = Σ n_docs per term),
@@ -221,4 +337,6 @@ def delete_docs(
 
     stage("postings", paths.postings, make_postings)
     write_lineage_and_metrics(spark, paths, manifest, resume)
+    if bulk:
+        del_df.unpersist()
     return paths
