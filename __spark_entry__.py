@@ -191,6 +191,42 @@ def _q_bm25_deleted_topk(spark, sf_dir):
     return query_topk(index, C.derived_queries(docs), k=_K, score_round=6)
 
 
+def _q_bm25_upserted_topk(spark, sf_dir):
+    """UPSERT gate (VERDICT r4 next #2): build a BASE index whose
+    overlap slice (doc_id % 8 == 0) carries deliberately stale content
+    and which lacks the doc_id % 4 == 3 slice entirely; build a DELTA
+    index carrying the fresh overlap content plus the missing slice;
+    upsert_index (index/merge.py: delete ∘ merge) must then equal a
+    fresh build over the TRUE full corpus — so the oracle is the plain
+    full-corpus BM25 SQL, and a surviving stale posting or a dropped
+    delta doc hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.config import IndexParams
+    from legal_text_retrieval_spark.index.builder import build_index
+    from legal_text_retrieval_spark.index.merge import upsert_index
+    from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
+    from legal_text_retrieval_spark.sources import corpus as C
+
+    base = f"/tmp/lts_index_v2_upserted/{Path(sf_dir.rstrip('/')).name}"
+    docs = _docs(spark, sf_dir)
+    params = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
+    overlap = F.col("doc_id") % 8 == 0
+    base_docs = docs.filter(F.col("doc_id") % 4 != 3).withColumn(
+        "content",
+        F.when(
+            overlap,
+            F.concat(F.lit("stale placeholder revision "), F.substring("content", 1, 40)),
+        ).otherwise(F.col("content")),
+    )
+    delta_docs = docs.filter((F.col("doc_id") % 4 == 3) | overlap)
+    pb = build_index(spark, base_docs, f"{base}/base", params)
+    pd_ = build_index(spark, delta_docs, f"{base}/delta", params)
+    out = upsert_index(spark, pb.root, pd_.root, f"{base}/upserted")
+    index = FulltextIndex.load(spark, out.root)
+    return query_topk(index, C.derived_queries(docs), k=_K, score_round=6)
+
+
 def _q_tfidf_weights(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -802,11 +838,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: the driver's correctness gate samples the FIRST 50 dict entries.
     # Ordering is therefore a rotation schedule, not cosmetics: entries that
     # have never had (or most need) a driver-green CORRECTNESS row go first;
-    # stable long-green entries rotate past the window at the tail.
+    # stable long-green entries rotate past the window at the tail.  The
+    # FULL set (window + tail) is re-verified locally each round with
+    # scripts/check_oracles.py, so rotation only affects which rows land
+    # in the driver snapshot, never regression coverage (r4 ADVICE).
     return {
-        # -- round-3 additions the r3 snapshot missed (VERDICT r3 item #1) --
+        # -- round-5 first-timer: the one operator without a driver row --
+        "bm25_upserted_topk": _q_bm25_upserted_topk,
+        # -- the 17 entries unsampled in r4 (VERDICT r4 next #1) --
+        "ann_recall": _q_ann_recall,
+        "bm25_subset_scores": _q_bm25_subset_scores,
+        "clean_corpus": _q_clean_corpus,
+        "combine_interleave_topk": _q_combine_interleave_topk,
+        "composite_keys": _q_composite_keys,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "eval_macro": _q_eval_macro,
+        "ivf_recall": _q_ivf_recall,
+        "language_id": _q_language_id,
+        "multimodal_features": _q_multimodal_features,
+        "quality_scores": _q_quality_scores,
+        "softmax_scores": _q_softmax_scores,
+        "stopwords_low_tfidf": _q_stopwords,
+        "token_count_quantiles": _q_token_quantiles,
+        "token_counts": _q_token_counts,
+        "train_test_split": _q_train_test_split,
+        "trec_run_lines": _q_trec_run_lines,
+        # -- r4 first-timers kept inside for a second consecutive row --
+        "simhash_near_dup": _q_simhash_near_dup,
+        "ivf_probe_topk": _q_ivf_probe_topk,
         "bm25_chunked_topk": _q_bm25_chunked_topk,
         "bm25_chunked_topk_indexed": _q_bm25_chunked_topk_indexed,
+        # -- single-driver-row entries (first row was r4) --
         "pair_hydration": _q_pair_hydration,
         "submission_rows": _q_submission_rows,
         "brand_supplier_revenue": _q_brand_supplier_revenue,
@@ -820,60 +882,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_like": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_daily_counts": _q_events_daily,
-        # -- previously-green core retained inside the window --
-        "doc_lengths": _q_doc_lengths,
-        "corpus_stats": _q_corpus_stats,
-        "term_tf": _q_term_tf,
-        "term_df": _q_term_df,
-        "idf_plus": _q_idf_plus,
-        "idf_okapi": _q_idf_okapi,
+        # -- long-green core retained in-window (incl. every index-
+        # lifecycle path: delete's kernel changed this round) --
         "bm25plus_topk": _q_bm25plus_topk,
         "bm25okapi_topk": _q_bm25okapi_topk,
         "bm25plus_topk_indexed": _q_bm25plus_topk_indexed,
         "bm25okapi_topk_indexed": _q_bm25okapi_topk_indexed,
         "bm25_merged_topk": _q_bm25_merged_topk,
         "bm25_deleted_topk": _q_bm25_deleted_topk,
-        "tfidf_weights": _q_tfidf_weights,
         "tfidf_cosine_topk": _q_tfidf_cosine_topk,
         "combine_weighted_topk": _q_combine_weighted_topk,
         "chunk_documents": _q_chunk_documents,
-        "pair_generation": _q_pair_generation,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_keep": _q_dedup_keep,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ensemble_predictions": _q_ensemble,
         "eval_micro": _q_eval_micro,
+        "simhash": _q_simhash,
+        # -- rotated past the 50-entry window (driver-green in r4;
+        # re-verified locally this round) --
+        "doc_lengths": _q_doc_lengths,
+        "corpus_stats": _q_corpus_stats,
+        "term_tf": _q_term_tf,
+        "term_df": _q_term_df,
+        "idf_plus": _q_idf_plus,
+        "idf_okapi": _q_idf_okapi,
+        "tfidf_weights": _q_tfidf_weights,
+        "pair_generation": _q_pair_generation,
         "eval_per_query": _q_eval_per_query,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_keep": _q_dedup_keep,
-        "simhash": _q_simhash,
-        "simhash_near_dup": _q_simhash_near_dup,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ivf_assignments": _q_ivf_assignments,
         "ivf_topk": _q_ivf_topk,
         "ivf_trained_centroids": _q_ivf_trained_centroids,
         "ivf_trained_topk": _q_ivf_trained_topk,
-        "ivf_probe_topk": _q_ivf_probe_topk,
         "ivf_trained_recall": _q_ivf_trained_recall,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "ensemble_predictions": _q_ensemble,
-        "bm25_subset_scores": _q_bm25_subset_scores,
-        # -- rotated past the 50-entry window (driver-green in r3) --
-        "combine_interleave_topk": _q_combine_interleave_topk,
-        "stopwords_low_tfidf": _q_stopwords,
-        "trec_run_lines": _q_trec_run_lines,
-        "ann_recall": _q_ann_recall,
-        "ivf_recall": _q_ivf_recall,
-        "token_counts": _q_token_counts,
-        "language_id": _q_language_id,
-        "quality_scores": _q_quality_scores,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "clean_corpus": _q_clean_corpus,
-        "token_count_quantiles": _q_token_quantiles,
-        "multimodal_features": _q_multimodal_features,
-        "train_test_split": _q_train_test_split,
-        "eval_macro": _q_eval_macro,
-        "softmax_scores": _q_softmax_scores,
-        "composite_keys": _q_composite_keys,
     }
 
 
@@ -913,6 +958,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25plus_topk_indexed": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
         "bm25okapi_topk_indexed": B.bm25_topk_sql("documents", qsql, _OKAPI, _K),
         "bm25_merged_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
+        # upsert = delete ∘ merge must equal a fresh build over the TRUE
+        # full corpus (delta wins the overlap), so the oracle is the
+        # plain full-corpus BM25 — stale base content never appears here
+        "bm25_upserted_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
         "bm25_deleted_topk": B.bm25_topk_sql(
             "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
             qsql,
