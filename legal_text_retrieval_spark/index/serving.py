@@ -36,6 +36,16 @@ class _TermPostings:
     contribs: np.ndarray  # float64 matched-part contribution (idf excluded)
 
 
+#: default driver-resident budget for a loaded index (8 GiB — the
+#: sandbox executor heap; override per deployment).  At 100× scale the
+#: answer is not a bigger budget but sharded serving: partition the
+#: index by term range (each shard loads its dictionary slice +
+#: postings) or by doc partition (scatter-gather top-k merge, same
+#: merge rule as the WAND window) — the on-disk layout already supports
+#: both (postings are (term_id, seg_id) range-partitioned parquet).
+DEFAULT_MEMORY_BUDGET = 8 << 30
+
+
 class LocalIndexServer:
     def __init__(self, params: BM25Params, avgdl: float, n_docs: int):
         self.params = params
@@ -45,12 +55,48 @@ class LocalIndexServer:
         self.term_post: dict[str, _TermPostings] = {}
         self.all_doc_ids: np.ndarray | None = None
 
+    @staticmethod
+    def resident_estimate(manifest: dict) -> int:
+        """Bytes this server will hold resident after load, estimated
+        from manifest stats alone (no data read): decoded postings are
+        three 8-byte arrays per posting (doc_ids, slots, contribs),
+        the dictionary ~150 B/term (string + two dict entries), the
+        doc-id census 8 B/doc, plus the transient driver collect of
+        the compressed bytes."""
+        return int(
+            24 * manifest.get("total_postings", 0)
+            + 150 * manifest.get("vocab_size", 0)
+            + 8 * manifest.get("n_docs", 0)
+            + manifest.get("bytes_compressed", 0)
+        )
+
     @classmethod
-    def load(cls, spark, root: str, allow_legacy: bool = False) -> "LocalIndexServer":
+    def load(
+        cls,
+        spark,
+        root: str,
+        allow_legacy: bool = False,
+        memory_budget_bytes: int | None = DEFAULT_MEMORY_BUDGET,
+    ) -> "LocalIndexServer":
         from .wand import FulltextIndex
 
         paths = IndexPaths(root)
         manifest = json.loads(Path(paths.manifest).read_text())
+        est = cls.resident_estimate(manifest)
+        if memory_budget_bytes is not None and est > memory_budget_bytes:
+            raise MemoryError(
+                f"index at {root} needs ≈{est / (1 << 30):.1f} GiB resident "
+                f"(total_postings={manifest.get('total_postings')}, "
+                f"vocab_size={manifest.get('vocab_size')}, "
+                f"n_docs={manifest.get('n_docs')}) > "
+                f"budget {memory_budget_bytes / (1 << 30):.1f} GiB. "
+                "Single-node serving is for indexes that fit one node "
+                "(like the reference's pickled scorer). Raise "
+                "memory_budget_bytes (or pass None) if this node really "
+                "has the headroom; otherwise shard serving by term range "
+                "or doc partition, or use the distributed path "
+                "(index.wand.query_topk)."
+            )
         fv = manifest.get("format_version")
         if fv != FulltextIndex.REQUIRED_FORMAT_VERSION or "eps_fold" not in manifest:
             msg = (

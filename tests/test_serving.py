@@ -53,3 +53,26 @@ def test_serving_latency_interactive(served, tiny_queries_pdf):
         srv.query(texts[i % len(texts)], k=10)
     per_q = (time.time() - t0) / n
     assert per_q < 0.05, per_q  # well under 50 ms/query on 200 docs
+
+
+def test_serving_memory_budget_guard(spark, tiny_docs, tmp_path_factory):
+    """VERDICT r4 next #6: load refuses an index whose manifest-derived
+    resident estimate exceeds the budget, with sharding guidance — and
+    the estimate is computable without reading any index data."""
+    import json
+    from pathlib import Path
+
+    root = str(tmp_path_factory.mktemp("srv_guard"))
+    builder.build_index(spark, tiny_docs, root, PARAMS)
+
+    manifest = json.loads((Path(root) / "manifest.json").read_text())
+    est = serving.LocalIndexServer.resident_estimate(manifest)
+    assert est > 0
+
+    # a budget below the estimate refuses with the scale guidance...
+    with pytest.raises(MemoryError, match="shard serving"):
+        serving.LocalIndexServer.load(spark, root, memory_budget_bytes=est - 1)
+    # ...the default budget, an explicit ample budget, and budget=None load
+    for budget in (serving.DEFAULT_MEMORY_BUDGET, est, None):
+        srv = serving.LocalIndexServer.load(spark, root, memory_budget_bytes=budget)
+        assert srv.n_docs == manifest["n_docs"]
