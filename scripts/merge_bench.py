@@ -69,6 +69,17 @@ def main(n_docs: int, cores: int) -> None:
         lambda: delete_docs(spark, direct.root, doomed, f"{root}/deleted", resume=False)
     )
 
+    # 10% bulk delete via the DataFrame (no-collect) path — the
+    # dedup-sweep-feedback / license-filter shape: per-segment sorted
+    # id lists merge-joined to the packed rows, ids never on the driver
+    doomed_df = docs.select("doc_id").filter(F.col("doc_id") % 10 == 0)
+    out_bulk, bulk_delete_s = timed(
+        lambda: delete_docs(
+            spark, direct.root, doomed_df, f"{root}/deleted_bulk", resume=False
+        )
+    )
+    mb = json.loads(Path(out_bulk.manifest).read_text())
+
     md = json.loads(Path(direct.manifest).read_text())
     mm = json.loads(Path(merged.manifest).read_text())
     parity = all(
@@ -85,6 +96,10 @@ def main(n_docs: int, cores: int) -> None:
         "merge_vs_rebuild": round(merge_s / rebuild_s, 3),
         "delete_1pct_seconds": round(delete_s, 1),
         "delete_vs_rebuild": round(delete_s / rebuild_s, 3),
+        "delete_10pct_bulk_seconds": round(bulk_delete_s, 1),
+        "delete_10pct_bulk_vs_rebuild": round(bulk_delete_s / rebuild_s, 3),
+        "bulk_n_deleted": mb["n_deleted"],
+        "bulk_n_docs_left": mb["n_docs"],
         "manifest_parity": parity,
         "total_postings": mm["total_postings"],
     }))
