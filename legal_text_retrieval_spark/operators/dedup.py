@@ -328,6 +328,24 @@ def minhash_band_candidates(
     )
 
 
+def _request_shuffle_cleanup(spark) -> None:
+    """Ask the driver JVM to GC so the ContextCleaner deletes shuffle
+    files whose dependencies became unreachable (a checkpoint barrier
+    just truncated the lineage).  Spark's own periodic GC runs every
+    30 min by default — far longer than the window between a barrier
+    and the next disk-heavy phase, and the 3.2M text sweep fills this
+    box's free disk in 15 min without the nudge.  Asynchronous: the
+    cleaner thread deletes in the background while the next phase
+    spins up."""
+    import gc
+
+    gc.collect()  # drop Py4J refs to consumed DataFrames first
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     n: int = 3,
@@ -335,6 +353,7 @@ def dedup_minhash_lsh(
     text_col: str = "content",
     bucket_cap: int | None = _BUCKET_CAP,
     auto_partitions: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): banded-LSH candidates (8 bands × 2 rows,
     stop-buckets above ``bucket_cap`` skipped) verified with exact
@@ -356,11 +375,34 @@ def dedup_minhash_lsh(
     rule (dedup_shuffle_partitions) before building the plan — raises
     the session's shuffle partitions so per-partition aggregate state
     stays bounded as n grows (the 1.6M single-box OOM fix, made
-    automatic)."""
+    automatic).
+
+    ``checkpoint_dir`` inserts a disk barrier between the candidate
+    and verify phases: the (small — ≤ n·bands·cap rows) candidate pair
+    relation is written to parquet, every cached relation is dropped,
+    and the candidate job's shuffle files are released for deletion
+    before the verify phase starts writing its own.  Without the
+    barrier the two phases' shuffle+spill footprints ACCUMULATE (one
+    lineage → nothing is cleanable until the final collect), which is
+    what turns a 3.2M-doc sweep disk-bound on a single box (measured:
+    >81 GB under zstd, >78 GB under lz4 — BASELINE.md round 5).  On a
+    cluster the same barrier is what makes the sweep restartable after
+    candidate generation.  Output is bit-identical either way
+    (tests/test_dedup_similarity.py::test_minhash_lsh_checkpoint_parity);
+    cost is one parquet round-trip of the candidates plus one extra
+    tokenize pass for the verify side's shingles."""
     if auto_partitions:
         _ensure_dedup_partitions(docs, text_col)
     sh = doc_shingles(docs, n, text_col).cache()
     cand = minhash_band_candidates(docs, n, text_col, bucket_cap, _shingles=sh)
+    if checkpoint_dir is not None:
+        spark = docs.sparkSession
+        cand_path = checkpoint_dir.rstrip("/") + "/candidates"
+        cand.write.mode("overwrite").parquet(cand_path)
+        spark.catalog.clearCache()
+        _request_shuffle_cleanup(spark)
+        sh = doc_shingles(docs, n, text_col).cache()  # re-pin for verify
+        cand = spark.read.parquet(cand_path)
     return dedup_ngram_jaccard(
         docs, n, threshold, text_col, pairs=cand, _shingles=sh
     ).select("doc_a", "doc_b", "jaccard")

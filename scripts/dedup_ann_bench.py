@@ -102,7 +102,20 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
     )
     from legal_text_retrieval_spark.session import get_spark, query_scope
 
-    spark = get_spark(app_name="dedup-ann-bench", master="local[16]")
+    # SPARK_GRAFT_IO_CODEC=zstd: shuffle/cache compression codec
+    # override.  The 3.2M text sweep writes >78 GB of accumulated
+    # shuffle+spilled-cache under lz4 — past this box's free disk;
+    # zstd's ~2× text ratio is the standard petabyte-cluster lever for
+    # exactly this (CPU-for-disk trade), so the boundary run documents
+    # both codecs.
+    import os
+
+    codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    spark = get_spark(
+        app_name="dedup-ann-bench",
+        master="local[16]",
+        extra_conf={"spark.io.compression.codec": codec} if codec else None,
+    )
 
     def emit(**kw):
         print(json.dumps(kw), flush=True)
@@ -124,13 +137,24 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
             docs.count()
 
         if want("dedup_minhash_lsh"):
+            # ≥2M docs: insert the candidate checkpoint barrier — the
+            # single-lineage sweep accumulates >80 GB of shuffle+spill
+            # at 3.2M, past this box's free disk (BASELINE.md round 5)
+            ckpt = f"/tmp/lts_dedup_ckpt_{n}" if n >= 2_000_000 else None
             t0 = time.time()
             found = {
                 (r.doc_a, r.doc_b)
-                for r in dedup_minhash_lsh(docs, threshold=0.5).collect()
+                for r in dedup_minhash_lsh(
+                    docs, threshold=0.5, checkpoint_dir=ckpt
+                ).collect()
             }
             lsh_s = time.time() - t0
-            n_cand = minhash_band_candidates(docs).count()
+            if ckpt:
+                # the barrier already materialized the candidate
+                # relation — count it instead of re-running the job
+                n_cand = spark.read.parquet(ckpt + "/candidates").count()
+            else:
+                n_cand = minhash_band_candidates(docs).count()
             # ground truth = planted pairs whose EXACT jaccard clears the
             # threshold (short docs lose all shingles to one mutation and
             # legitimately fall below it) — computed with the candidate-
@@ -158,6 +182,7 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
                 shuffle_partitions=int(
                     spark.conf.get("spark.sql.shuffle.partitions")
                 ),
+                checkpointed=bool(ckpt),
             )
 
         if want("dedup_keep"):
@@ -182,6 +207,7 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
         if text_scope is not None:
             docs.unpersist()
             text_scope.__exit__(None, None, None)
+            shutil.rmtree(f"/tmp/lts_dedup_ckpt_{n}", ignore_errors=True)
 
         emb_ops = [
             o

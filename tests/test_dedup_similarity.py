@@ -461,3 +461,25 @@ def test_simhash_rejects_bits_above_62(spark, dup_docs):
         simhash_near_dup(dup_docs, bits=63)
     # 62 itself is legal (top usable bit of a signed 64-bit value)
     assert simhash(dup_docs, bits=62).count() == dup_docs.count()
+
+
+def test_minhash_lsh_checkpoint_parity(spark, dup_docs, tmp_path):
+    """The checkpoint_dir disk barrier (candidates → parquet, caches
+    dropped, lineage truncated) must not change a single output row
+    vs the single-lineage plan."""
+    from legal_text_retrieval_spark.operators.dedup import dedup_minhash_lsh
+
+    plain = sorted(
+        map(tuple, dedup_minhash_lsh(dup_docs, threshold=0.2).collect())
+    )
+    ckpt = sorted(
+        map(
+            tuple,
+            dedup_minhash_lsh(
+                dup_docs, threshold=0.2, checkpoint_dir=str(tmp_path / "ckpt")
+            ).collect(),
+        )
+    )
+    assert plain == ckpt and len(plain) > 0
+    # the barrier materialized the candidate relation
+    assert (tmp_path / "ckpt" / "candidates").exists()
