@@ -1008,6 +1008,7 @@ def near_dup_pairs(
     nbands: int = _NBANDS,
     rbits: int = _RBITS,
     dim: int = _DIM,
+    mode: str = "hydrate",
 ) -> DataFrame:
     """(vec_a, vec_b, cos) — embedding-cosine near-duplicate pairs,
     restricted to banded-LSH candidates (the 100 TB scale path: the
@@ -1015,16 +1016,61 @@ def near_dup_pairs(
     per-band bucket sizes — never n²; OR-amplification over nbands
     bands raises recall without widening any bucket).  Recall < 1 by
     design; ``near_dup_pairs_exact`` is the all-pairs oracle for recall
-    measurement (tests/test_dedup_similarity.py)."""
+    measurement (tests/test_dedup_similarity.py).
+
+    Two bit-identical plans
+    (tests/test_dedup_similarity.py::test_near_dup_injoin_parity):
+
+    - ``mode="hydrate"`` (default, the DuckDB-twin shape): distinct
+      candidate pairs, then two embedding joins.  The vec_b-side
+      sort-merge exchange carries (pair, emb_a) — candidate-count ×
+      vector-width bytes.  At 3.2M×64f that exchange alone is >80 GB,
+      which is what turned the sweep disk-bound on a single box
+      (BASELINE.md round 5).
+    - ``mode="injoin"`` (the scale path): embeddings ride THROUGH the
+      band self-join, cosine is computed map-side on the join output
+      (never exchanged), and distinct runs on the few survivors.  The
+      only large exchanges are the two banded sides — n·nbands ×
+      vector-width bytes, independent of candidate count (~16 GB at
+      3.2M, 5× less than hydrate's).  A pair colliding in k bands is
+      scored k times, but the rounded cosine is deterministic, so the
+      final distinct collapses duplicates exactly."""
     _ensure_embedding_partitions(embeddings, nbands, rbits, dim)
     sig = lsh_band_signatures(embeddings, nbands, rbits, dim)
-    a = sig.select(F.col("vec_id").alias("vec_a"), "band", "sig")
-    b = sig.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    cos_expr = F.expr(
+        round_sql(
+            _DOT.format(a="ea", b="eb")
+            + " / (" + _NORM.format(a="ea") + " * " + _NORM.format(a="eb") + ")",
+            6,
+        )
+    )
     # every join side below scales with the corpus (signature self-join,
     # candidate pairs, full embedding relations) — pin sort-merge so AQE
     # cannot promote a compression-flattered side to a broadcast or a
     # post-coalesce hash build (the dedup sweep's measured 8g failure
     # modes, operators/dedup.py)
+    if mode == "injoin":
+        banded = sig.join(embeddings.hint("merge"), "vec_id")
+        a = banded.select(
+            F.col("vec_id").alias("vec_a"), "band", "sig",
+            F.col("embedding").alias("ea"),
+        )
+        b = banded.select(
+            F.col("vec_id").alias("vec_b"), "band", "sig",
+            F.col("embedding").alias("eb"),
+        )
+        return (
+            a.join(b.hint("merge"), ["band", "sig"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos", cos_expr)
+            .filter(F.col("cos") >= threshold)
+            .select("vec_a", "vec_b", "cos")
+            .distinct()
+        )
+    if mode != "hydrate":
+        raise ValueError(f"near_dup_pairs mode must be 'hydrate' or 'injoin', got {mode!r}")
+    a = sig.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "band", "sig")
     cand = (
         a.join(b.hint("merge"), ["band", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -1036,16 +1082,7 @@ def near_dup_pairs(
     return (
         cand.join(ea.hint("merge"), "vec_a")
         .join(eb.hint("merge"), "vec_b")
-        .withColumn(
-            "cos",
-            F.expr(
-                round_sql(
-                    _DOT.format(a="ea", b="eb")
-                    + " / (" + _NORM.format(a="ea") + " * " + _NORM.format(a="eb") + ")",
-                    6,
-                )
-            ),
-        )
+        .withColumn("cos", cos_expr)
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )

@@ -246,8 +246,18 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
             )
 
         if want("near_dup_pairs"):
+            # ≥2M vectors: hydrate mode's (pair, emb_a) exchange
+            # outgrows this box's disk (>80 GB at 3.2M) — use the
+            # in-join scoring plan (bit-identical, parity-tested)
+            nd_mode = "injoin" if n >= 2_000_000 else "hydrate"
+            # SPARK_GRAFT_ND_BANDS: band-count override for the recall
+            # knob curve (8 is the protocol default; 12/16 trade ~linear
+            # cost for recall — BASELINE.md 1.6M band sweep)
+            nd_bands = int(os.environ.get("SPARK_GRAFT_ND_BANDS", "8"))
             t0 = time.time()
-            ndp = near_dup_pairs(emb, threshold=0.9, nbands=8, rbits=rbits, dim=DIM)
+            ndp = near_dup_pairs(
+                emb, threshold=0.9, nbands=nd_bands, rbits=rbits, dim=DIM, mode=nd_mode
+            )
             pair_rows = {(r.vec_a, r.vec_b) for r in ndp.collect()}
             emit(
                 op="near_dup_pairs",
@@ -258,6 +268,8 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
                 planted_recall=round(
                     len(pair_rows & eplanted) / len(eplanted), 4
                 ),
+                mode=nd_mode,
+                nbands=nd_bands,
             )
         if want("ivf_probe"):
             # build-once / probe-many split (round-3 VERDICT next #7):

@@ -483,3 +483,28 @@ def test_minhash_lsh_checkpoint_parity(spark, dup_docs, tmp_path):
     assert plain == ckpt and len(plain) > 0
     # the barrier materialized the candidate relation
     assert (tmp_path / "ckpt" / "candidates").exists()
+
+
+def test_near_dup_injoin_parity(spark):
+    """mode='injoin' (embeddings ride through the band join, cosine
+    map-side, distinct on survivors) must produce exactly the
+    hydrate-mode rows."""
+    import numpy as np
+
+    from legal_text_retrieval_spark.operators.similarity import near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 16))
+    for q in range(0, 290, 30):  # planted near-dups
+        vecs[q + 1] = vecs[q] + 0.15 * rng.normal(size=16)
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(float)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    kw = dict(threshold=0.8, nbands=8, rbits=4, dim=16)
+    hyd = sorted(map(tuple, near_dup_pairs(emb, **kw).collect()))
+    inj = sorted(map(tuple, near_dup_pairs(emb, mode="injoin", **kw).collect()))
+    assert hyd == inj and len(hyd) > 0
+    with pytest.raises(ValueError, match="injoin"):
+        near_dup_pairs(emb, mode="nope", **kw)
