@@ -208,7 +208,13 @@ def _q_bm25_upserted_topk(spark, sf_dir):
     from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
     from legal_text_retrieval_spark.sources import corpus as C
 
-    base = f"/tmp/lts_index_v2_upserted/{Path(sf_dir.rstrip('/')).name}"
+    # pid-keyed root (ADVICE r5): two concurrent gate processes on the
+    # same sf dir must not race on base/delta/upserted artifacts —
+    # same recipe as the IVF gate; within-process reruns still reuse
+    # the builds via build_index's input fingerprint
+    import os
+
+    base = f"/tmp/lts_index_v2_upserted/{os.getpid()}/{Path(sf_dir.rstrip('/')).name}"
     docs = _docs(spark, sf_dir)
     params = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
     overlap = F.col("doc_id") % 8 == 0
@@ -224,6 +230,59 @@ def _q_bm25_upserted_topk(spark, sf_dir):
     pd_ = build_index(spark, delta_docs, f"{base}/delta", params)
     out = upsert_index(spark, pb.root, pd_.root, f"{base}/upserted")
     index = FulltextIndex.load(spark, out.root)
+    return query_topk(index, C.derived_queries(docs), k=_K, score_round=6)
+
+
+def _q_bm25_compacted_topk(spark, sf_dir):
+    """STREAMING-COMPACTION gate (VERDICT r5 next #8 made a driver
+    row): batch-build a base index missing the doc_id % 4 == 3 slice,
+    ingest that slice through the real Structured Streaming path
+    (start_incremental, two micro-batch file drops → appended posting
+    generations + snapshot-stats dictionary appends), then restore
+    exactness with compact_merged (the no-build-shuffle merge kernel).
+    The compacted index must equal a fresh build over the full corpus,
+    so the oracle is the plain full-corpus BM25 SQL — a stale snapshot
+    statistic, an idf=0 placeholder left unfixed, or a dropped
+    streamed doc hash-mismatches."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from legal_text_retrieval_spark.config import IndexParams
+    from legal_text_retrieval_spark.index.builder import build_index
+    from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
+    from legal_text_retrieval_spark.sources import corpus as C
+    from legal_text_retrieval_spark.streaming import incremental
+
+    docs = _docs(spark, sf_dir)
+    key = ("compacted_root", sf_dir)
+    if key not in _CACHE:
+        # pid + uuid root: streaming appends are not idempotent, so a
+        # rerun must land in a fresh dir (the within-process rerun
+        # reuses the memoized compacted root instead)
+        base = (
+            f"/tmp/lts_index_v2_compacted/{os.getpid()}/"
+            f"{Path(sf_dir.rstrip('/')).name}_{uuid.uuid4().hex[:8]}"
+        )
+        params = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
+        root = f"{base}/idx"
+        build_index(spark, docs.filter(F.col("doc_id") % 4 != 3), root, params)
+        streamed = docs.filter(F.col("doc_id") % 4 == 3).select("doc_id", "content")
+        for i, half in enumerate((0, 1)):
+            watch = f"{base}/incoming/b{i}"
+            streamed.filter(F.col("doc_id") % 8 == 3 + 4 * half).write.mode(
+                "overwrite"
+            ).parquet(watch)
+            q = incremental.start_incremental(
+                spark, watch, root, params,
+                checkpoint_dir=f"{base}/ckpt/b{i}",
+                schema=streamed.schema,
+            )
+            q.awaitTermination(300)
+        incremental.compact_merged(spark, root, params)
+        _CACHE[key] = root
+    index = FulltextIndex.load(spark, _CACHE[key])
     return query_topk(index, C.derived_queries(docs), k=_K, score_round=6)
 
 
@@ -843,64 +902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracles.py, so rotation only affects which rows land
     # in the driver snapshot, never regression coverage (r4 ADVICE).
     return {
-        # -- round-5 first-timer: the one operator without a driver row --
-        "bm25_upserted_topk": _q_bm25_upserted_topk,
-        # -- the 17 entries unsampled in r4 (VERDICT r4 next #1) --
-        "ann_recall": _q_ann_recall,
-        "bm25_subset_scores": _q_bm25_subset_scores,
-        "clean_corpus": _q_clean_corpus,
-        "combine_interleave_topk": _q_combine_interleave_topk,
-        "composite_keys": _q_composite_keys,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "eval_macro": _q_eval_macro,
-        "ivf_recall": _q_ivf_recall,
-        "language_id": _q_language_id,
-        "multimodal_features": _q_multimodal_features,
-        "quality_scores": _q_quality_scores,
-        "softmax_scores": _q_softmax_scores,
-        "stopwords_low_tfidf": _q_stopwords,
-        "token_count_quantiles": _q_token_quantiles,
-        "token_counts": _q_token_counts,
-        "train_test_split": _q_train_test_split,
-        "trec_run_lines": _q_trec_run_lines,
-        # -- r4 first-timers kept inside for a second consecutive row --
-        "simhash_near_dup": _q_simhash_near_dup,
-        "ivf_probe_topk": _q_ivf_probe_topk,
-        "bm25_chunked_topk": _q_bm25_chunked_topk,
-        "bm25_chunked_topk_indexed": _q_bm25_chunked_topk_indexed,
-        # -- single-driver-row entries (first row was r4) --
-        "pair_hydration": _q_pair_hydration,
-        "submission_rows": _q_submission_rows,
-        "brand_supplier_revenue": _q_brand_supplier_revenue,
-        "mrpc_rows": _q_mrpc_rows,
-        "cola_rows": _q_cola_rows,
-        "content_sha": _q_content_sha,
-        "rerank_ingest": _q_rerank_ingest,
-        "rerank_accuracy": _q_rerank_accuracy,
-        "rerank_eval": _q_rerank_eval,
-        "chunk_expansion": _q_chunk_expansion,
-        "tpch_q1_like": _q_tpch_q1,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "events_daily_counts": _q_events_daily,
-        # -- long-green core retained in-window (incl. every index-
-        # lifecycle path: delete's kernel changed this round) --
-        "bm25plus_topk": _q_bm25plus_topk,
-        "bm25okapi_topk": _q_bm25okapi_topk,
-        "bm25plus_topk_indexed": _q_bm25plus_topk_indexed,
-        "bm25okapi_topk_indexed": _q_bm25okapi_topk_indexed,
-        "bm25_merged_topk": _q_bm25_merged_topk,
-        "bm25_deleted_topk": _q_bm25_deleted_topk,
-        "tfidf_cosine_topk": _q_tfidf_cosine_topk,
-        "combine_weighted_topk": _q_combine_weighted_topk,
-        "chunk_documents": _q_chunk_documents,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_keep": _q_dedup_keep,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "ensemble_predictions": _q_ensemble,
-        "eval_micro": _q_eval_micro,
-        "simhash": _q_simhash,
-        # -- rotated past the 50-entry window (driver-green in r4;
-        # re-verified locally this round) --
+        # -- round-6 first-timer: streaming-compaction's first driver row --
+        "bm25_compacted_topk": _q_bm25_compacted_topk,
+        # -- the 18 entries whose last driver row was r4 (VERDICT r5
+        # next #1: rotate them back so no entry's row is >2 rounds old) --
         "doc_lengths": _q_doc_lengths,
         "corpus_stats": _q_corpus_stats,
         "term_tf": _q_term_tf,
@@ -919,6 +924,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_trained_centroids": _q_ivf_trained_centroids,
         "ivf_trained_topk": _q_ivf_trained_topk,
         "ivf_trained_recall": _q_ivf_trained_recall,
+        # -- r5 first-timer kept inside for a second consecutive row;
+        # its gate root was pid-keyed this round --
+        "bm25_upserted_topk": _q_bm25_upserted_topk,
+        # -- entries whose operators changed in r6 (auto scale-path
+        # selection in dedup/similarity; delete digest v3) --
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_keep": _q_dedup_keep,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "bm25_deleted_topk": _q_bm25_deleted_topk,
+        # -- index-lifecycle + retrieval core retained in-window --
+        "bm25plus_topk": _q_bm25plus_topk,
+        "bm25okapi_topk": _q_bm25okapi_topk,
+        "bm25plus_topk_indexed": _q_bm25plus_topk_indexed,
+        "bm25okapi_topk_indexed": _q_bm25okapi_topk_indexed,
+        "bm25_merged_topk": _q_bm25_merged_topk,
+        "bm25_chunked_topk": _q_bm25_chunked_topk,
+        "bm25_chunked_topk_indexed": _q_bm25_chunked_topk_indexed,
+        "ivf_probe_topk": _q_ivf_probe_topk,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "tfidf_cosine_topk": _q_tfidf_cosine_topk,
+        "combine_weighted_topk": _q_combine_weighted_topk,
+        "chunk_documents": _q_chunk_documents,
+        "ensemble_predictions": _q_ensemble,
+        "eval_micro": _q_eval_micro,
+        # -- two-consecutive-row entries (r4+r5) riding a third --
+        "pair_hydration": _q_pair_hydration,
+        "submission_rows": _q_submission_rows,
+        "brand_supplier_revenue": _q_brand_supplier_revenue,
+        "cola_rows": _q_cola_rows,
+        "content_sha": _q_content_sha,
+        "rerank_ingest": _q_rerank_ingest,
+        "rerank_accuracy": _q_rerank_accuracy,
+        "rerank_eval": _q_rerank_eval,
+        "chunk_expansion": _q_chunk_expansion,
+        "tpch_q1_like": _q_tpch_q1,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_daily_counts": _q_events_daily,
+        # -- rotated past the 50-entry window (driver-green in r5;
+        # re-verified locally this round with scripts/check_oracles.py) --
+        "ann_recall": _q_ann_recall,
+        "bm25_subset_scores": _q_bm25_subset_scores,
+        "clean_corpus": _q_clean_corpus,
+        "combine_interleave_topk": _q_combine_interleave_topk,
+        "composite_keys": _q_composite_keys,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "eval_macro": _q_eval_macro,
+        "ivf_recall": _q_ivf_recall,
+        "language_id": _q_language_id,
+        "mrpc_rows": _q_mrpc_rows,
+        "multimodal_features": _q_multimodal_features,
+        "quality_scores": _q_quality_scores,
+        "softmax_scores": _q_softmax_scores,
+        "simhash": _q_simhash,
+        "stopwords_low_tfidf": _q_stopwords,
+        "token_count_quantiles": _q_token_quantiles,
+        "token_counts": _q_token_counts,
+        "train_test_split": _q_train_test_split,
+        "trec_run_lines": _q_trec_run_lines,
     }
 
 
@@ -962,6 +1025,10 @@ def oracle_sql() -> dict[str, str]:
         # full corpus (delta wins the overlap), so the oracle is the
         # plain full-corpus BM25 — stale base content never appears here
         "bm25_upserted_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
+        # streamed appends + compact_merged must equal a fresh build
+        # over the full corpus — the oracle is the plain full-corpus
+        # BM25, so snapshot-stat staleness or idf placeholders mismatch
+        "bm25_compacted_topk": B.bm25_topk_sql("documents", qsql, NORTH_STAR_BM25, _K),
         "bm25_deleted_topk": B.bm25_topk_sql(
             "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
             qsql,

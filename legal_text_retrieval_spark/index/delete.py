@@ -169,10 +169,11 @@ def delete_docs(
 
     Two input shapes, one result:
 
-    - **iterable of int** (batch deletes — takedowns, upsert overlaps):
+    - **iterable of int** (batch deletes — takedowns):
       ids are broadcast and the postings pass stays map-only.
     - **single-column DataFrame** (bulk deletes — dedup-sweep feedback,
-      license filtering at 10⁸ ids): never collected to the driver.
+      license filtering at 10⁸ ids, upsert overlaps): never collected
+      to the driver.
       The ids are grouped into per-segment sorted lists (≤
       segment_doc_window ids each, so per-row state is bounded) and
       sort-merge-joined to the packed rows on ``seg_id`` — one shuffle
@@ -200,12 +201,20 @@ def delete_docs(
 
     # order-independent delete-set digest — same recipe for both input
     # shapes, so a list delete and the equivalent DataFrame delete
-    # resume each other's artifacts
+    # resume each other's artifacts.  TWO independently-seeded hash
+    # sums (ADVICE r5: a single sum of hashes aliases too easily —
+    # two different delete sets colliding on one commutative sum would
+    # wrongly resume each other's artifacts; aliasing now requires a
+    # simultaneous collision on both sums plus count/min/max)
     drow = del_df.agg(
         F.count("*").alias("n"),
-        # decimal(38,0) sum: a BIGINT sum of 64-bit hashes overflows
+        # decimal(38,0) sums: a BIGINT sum of 64-bit hashes overflows
         # under ANSI mode; decimal38 holds ~1e38 ≫ 9e18 × 10⁸ ids
         F.coalesce(F.sum(F.xxhash64("doc_id").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.sum(F.xxhash64(F.lit("lts-delete-digest-seed2"), F.col("doc_id")).cast("decimal(38,0)")),
+            F.lit(0),
+        ).alias("h2"),
         F.coalesce(F.min("doc_id"), F.lit(0)).alias("lo"),
         F.coalesce(F.max("doc_id"), F.lit(0)).alias("hi"),
     ).collect()[0]
@@ -227,7 +236,7 @@ def delete_docs(
     avgdl = float(total_tokens) / n_docs
     input_fp = input_fingerprint(
         "delete", root, m.get("n_docs"), m.get("total_tokens"),
-        "digest-v2", n_del_ids, int(drow.h), int(drow.lo), int(drow.hi),
+        "digest-v3", n_del_ids, int(drow.h), int(drow.h2), int(drow.lo), int(drow.hi),
     )
     manifest: dict = {
         "format_version": m["format_version"],

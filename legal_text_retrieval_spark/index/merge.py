@@ -292,9 +292,12 @@ def upsert_index(
     result equals a fresh build over (base − overlap) ∪ delta
     (tests/test_index_merge.py::test_upsert_parity).
 
-    Overlapping doc_ids are collected (bounded by the delta batch
-    size, not the corpus).  Two packed-row passes (prune, then merge) —
-    still no raw posting shuffle.  The intermediate pruned base index
+    Overlapping doc_ids never touch the driver: the docstats semi-join
+    feeds the distributed DataFrame delete path directly (r5's
+    no-collect kernel — per-segment sorted id lists, order-independent
+    digest), so a 1e8-doc delta scales by adding executors.  Two
+    packed-row passes (prune, then merge) — still no raw posting
+    shuffle.  The intermediate pruned base index
     is deleted once the merge succeeds (it is a full index copy);
     re-running the same upsert therefore re-prunes, and a DIFFERENT
     upsert into the same out_dir is caught by the manifest
@@ -305,18 +308,17 @@ def upsert_index(
 
     pb = IndexPaths(base_root)
     pd_ = IndexPaths(delta_root)
-    overlap = [
-        r.doc_id
-        for r in spark.read.parquet(pb.docstats)
+    overlap_df = (
+        spark.read.parquet(pb.docstats)
         .join(spark.read.parquet(pd_.docstats), "doc_id", "left_semi")
         .select("doc_id")
-        .collect()
-    ]
+    )
+    n_overlap = overlap_df.count()
     pruned_root = base_root
-    if overlap:
+    if n_overlap:
         pruned_root = out_dir.rstrip("/") + ".base_pruned"
-        delete_docs(spark, base_root, overlap, pruned_root, resume=resume)
+        delete_docs(spark, base_root, overlap_df, pruned_root, resume=resume)
     result = merge_indexes(spark, pruned_root, delta_root, out_dir, resume=resume)
-    if overlap:
+    if n_overlap:
         shutil.rmtree(pruned_root, ignore_errors=True)
     return result

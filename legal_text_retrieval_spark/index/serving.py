@@ -18,6 +18,7 @@ overhead (~1-2 s) is the wrong tool for interactive serving.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -36,14 +37,29 @@ class _TermPostings:
     contribs: np.ndarray  # float64 matched-part contribution (idf excluded)
 
 
-#: default driver-resident budget for a loaded index (8 GiB — the
-#: sandbox executor heap; override per deployment).  At 100× scale the
+#: conservative floor for the auto-derived resident budget (used when
+#: the host's physical memory cannot be probed).  At 100× scale the
 #: answer is not a bigger budget but sharded serving: partition the
 #: index by term range (each shard loads its dictionary slice +
 #: postings) or by doc partition (scatter-gather top-k merge, same
 #: merge rule as the WAND window) — the on-disk layout already supports
 #: both (postings are (term_id, seg_id) range-partitioned parquet).
 DEFAULT_MEMORY_BUDGET = 8 << 30
+
+
+def system_memory_budget() -> int:
+    """Default serving budget: half this host's physical RAM (the rest
+    is left for the OS page cache, the JVM, and query scratch), with an
+    8 GiB floor when the probe fails.  Derived per host rather than
+    hardcoded (ADVICE r5: a fixed 8 GiB budget — this sandbox's heap —
+    wrongly rejected larger-but-fitting indexes on bigger nodes)."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        if total > 0:
+            return int(total // 2)
+    except (AttributeError, ValueError, OSError):
+        pass
+    return DEFAULT_MEMORY_BUDGET
 
 
 class LocalIndexServer:
@@ -76,12 +92,14 @@ class LocalIndexServer:
         spark,
         root: str,
         allow_legacy: bool = False,
-        memory_budget_bytes: int | None = DEFAULT_MEMORY_BUDGET,
+        memory_budget_bytes: int | str | None = "auto",
     ) -> "LocalIndexServer":
         from .wand import FulltextIndex
 
         paths = IndexPaths(root)
         manifest = json.loads(Path(paths.manifest).read_text())
+        if memory_budget_bytes == "auto":
+            memory_budget_bytes = system_memory_budget()
         est = cls.resident_estimate(manifest)
         if memory_budget_bytes is not None and est > memory_budget_bytes:
             raise MemoryError(

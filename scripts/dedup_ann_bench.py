@@ -137,10 +137,21 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
             docs.count()
 
         if want("dedup_minhash_lsh"):
-            # ≥2M docs: insert the candidate checkpoint barrier — the
-            # single-lineage sweep accumulates >80 GB of shuffle+spill
-            # at 3.2M, past this box's free disk (BASELINE.md round 5)
-            ckpt = f"/tmp/lts_dedup_ckpt_{n}" if n >= 2_000_000 else None
+            # barrier selection now lives in the operator (round-6
+            # VERDICT next #2): resolve the operator's own auto rule
+            # here (projected single-lineage footprint vs free disk)
+            # so the emitted row records whether the barrier fired and
+            # the candidate relation stays countable from a known dir
+            from legal_text_retrieval_spark.operators.dedup import (
+                _auto_checkpoint_dir,
+                estimate_shingle_rows,
+            )
+
+            ckpt_env = os.environ.get("SPARK_GRAFT_DEDUP_CKPT", "auto")
+            if ckpt_env == "auto":
+                ckpt = _auto_checkpoint_dir(spark, estimate_shingle_rows(docs))
+            else:
+                ckpt = ckpt_env or None
             t0 = time.time()
             found = {
                 (r.doc_a, r.doc_b)
@@ -246,14 +257,29 @@ def main(sizes: list[int], ops: set[str] | None = None) -> None:
             )
 
         if want("near_dup_pairs"):
-            # ≥2M vectors: hydrate mode's (pair, emb_a) exchange
-            # outgrows this box's disk (>80 GB at 3.2M) — use the
-            # in-join scoring plan (bit-identical, parity-tested)
-            nd_mode = "injoin" if n >= 2_000_000 else "hydrate"
+            # mode selection now lives in the operator (round-6
+            # VERDICT next #2): "auto" picks injoin when the projected
+            # candidate-hydrate exchange outgrows the banded sides
+            # (the measured >80 GB disk death at 3.2M).  Resolve the
+            # same rule here so the emitted row records which plan ran.
+            nd_mode = os.environ.get("SPARK_GRAFT_ND_MODE", "auto")
             # SPARK_GRAFT_ND_BANDS: band-count override for the recall
             # knob curve (8 is the protocol default; 12/16 trade ~linear
             # cost for recall — BASELINE.md 1.6M band sweep)
             nd_bands = int(os.environ.get("SPARK_GRAFT_ND_BANDS", "8"))
+            if nd_mode == "auto":
+                from legal_text_retrieval_spark.operators.similarity import (
+                    _AUTO_INJOIN_MIN_BYTES,
+                    banded_exchange_bytes,
+                    hydrate_exchange_bytes,
+                )
+
+                hb = hydrate_exchange_bytes(n, nd_bands, rbits, DIM)
+                nd_mode = (
+                    "injoin"
+                    if hb > max(banded_exchange_bytes(n, nd_bands, DIM), _AUTO_INJOIN_MIN_BYTES)
+                    else "hydrate"
+                )
             t0 = time.time()
             ndp = near_dup_pairs(
                 emb, threshold=0.9, nbands=nd_bands, rbits=rbits, dim=DIM, mode=nd_mode

@@ -80,6 +80,21 @@ def main(n_docs: int, cores: int) -> None:
     )
     mb = json.loads(Path(out_bulk.manifest).read_text())
 
+    # 10% re-ingest upsert (overlapping delta, identical content):
+    # upsert = delete ∘ merge must equal the direct build, so manifest
+    # parity against `direct` is the exactness check; cost should be
+    # ≈ delete(overlap) + merge (VERDICT r5 next #5)
+    from legal_text_retrieval_spark.index.merge import upsert_index
+
+    delta_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    pdelta, build_delta_s = timed(
+        lambda: build_index(spark, delta_docs, f"{root}/delta", params, resume=False)
+    )
+    up, upsert_s = timed(
+        lambda: upsert_index(spark, direct.root, pdelta.root, f"{root}/upserted", resume=False)
+    )
+    mu = json.loads(Path(up.manifest).read_text())
+
     md = json.loads(Path(direct.manifest).read_text())
     mm = json.loads(Path(merged.manifest).read_text())
     parity = all(
@@ -100,6 +115,14 @@ def main(n_docs: int, cores: int) -> None:
         "delete_10pct_bulk_vs_rebuild": round(bulk_delete_s / rebuild_s, 3),
         "bulk_n_deleted": mb["n_deleted"],
         "bulk_n_docs_left": mb["n_docs"],
+        "build_delta_10pct_seconds": round(build_delta_s, 1),
+        "upsert_10pct_seconds": round(upsert_s, 1),
+        "upsert_vs_rebuild": round(upsert_s / rebuild_s, 3),
+        "upsert_manifest_parity": all(
+            mu[k] == md[k]
+            for k in ("n_docs", "total_tokens", "avgdl", "min_idf", "vocab_size",
+                      "total_postings", "bytes_compressed")
+        ),
         "manifest_parity": parity,
         "total_postings": mm["total_postings"],
     }))

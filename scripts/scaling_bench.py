@@ -247,9 +247,91 @@ def run_chunked(n_docs: int, cores: int = 16) -> dict:
     return summary
 
 
+def _vm_rss_bytes() -> int:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) * 1024
+    return 0
+
+
+def run_serving(n_docs: int, cores: int = 16) -> dict:
+    """Serving-at-scale row (round-5 VERDICT next #6): build (or
+    resume) an ``n_docs`` index, then validate the manifest-derived
+    ``resident_estimate`` the memory-budget guard relies on against
+    the measured Python-process RSS delta across load, and record the
+    p50/p95 single-query latency at that scale."""
+    import numpy as np
+
+    from legal_text_retrieval_spark.config import IndexParams, NORTH_STAR_BM25
+    from legal_text_retrieval_spark.index.builder import IndexPaths, build_index
+    from legal_text_retrieval_spark.index.serving import LocalIndexServer
+    from legal_text_retrieval_spark.session import get_spark
+    from legal_text_retrieval_spark.sources.corpus import derived_queries
+
+    corpus = f"/tmp/lts_serving_bench_{n_docs}.parquet"
+    if not Path(corpus + ".ok").exists():
+        from legal_text_retrieval_spark.fixtures import make_corpus_fast
+
+        pdf = make_corpus_fast(n_docs)
+        shutil.rmtree(corpus, ignore_errors=True)
+        Path(corpus).unlink(missing_ok=True)
+        pdf.to_parquet(corpus, index=False, row_group_size=20000)
+        Path(corpus + ".ok").write_text("ok")
+
+    spark = get_spark(app_name=f"serving-bench-{n_docs}", master=f"local[{cores}]")
+    docs = spark.read.parquet(corpus)
+    out_dir = f"/tmp/lts_serving_bench_idx_{n_docs}"
+    params = IndexParams(segment_doc_window=1 << 15, bm25=NORTH_STAR_BM25)
+    t0 = time.time()
+    build_index(spark, docs, out_dir, params)  # resume-aware
+    build_s = time.time() - t0
+
+    manifest = json.loads(Path(IndexPaths(out_dir).manifest).read_text())
+    est = LocalIndexServer.resident_estimate(manifest)
+    rss0 = _vm_rss_bytes()
+    t0 = time.time()
+    srv = LocalIndexServer.load(spark, out_dir)
+    load_s = time.time() - t0
+    rss_delta = _vm_rss_bytes() - rss0
+
+    qtexts = [
+        r.query_text for r in derived_queries(docs).limit(200).collect()
+    ]
+    for qt in qtexts[:20]:
+        srv.query(qt, 150)  # warm
+    lats = []
+    for qt in qtexts:
+        t0 = time.time()
+        srv.query(qt, 150)
+        lats.append((time.time() - t0) * 1000)
+    lats = np.sort(np.array(lats))
+    summary = {
+        "op": "serving_scale",
+        "n_docs": n_docs,
+        "cores": cores,
+        "build_seconds": round(build_s, 1),
+        "total_postings": manifest["total_postings"],
+        "load_seconds": round(load_s, 1),
+        "resident_estimate_gib": round(est / (1 << 30), 2),
+        "measured_rss_delta_gib": round(rss_delta / (1 << 30), 2),
+        "estimate_vs_measured": round(est / max(1, rss_delta), 2),
+        "serving_p50_ms": round(float(lats[len(lats) // 2]), 2),
+        "serving_p95_ms": round(float(lats[int(len(lats) * 0.95)]), 2),
+    }
+    spark.stop()
+    print(json.dumps(summary))
+    return summary
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "run":
         run_one(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    elif sys.argv[1] == "serving":
+        run_serving(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 3_200_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 16,
+        )
     elif sys.argv[1] == "chunked":
         run_chunked(
             int(sys.argv[2]) if len(sys.argv) > 2 else 400_000,

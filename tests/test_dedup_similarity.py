@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pathlib import Path
 
 
 @pytest.fixture(scope="module")
@@ -503,8 +504,62 @@ def test_near_dup_injoin_parity(spark):
         "vec_id bigint, embedding array<double>",
     )
     kw = dict(threshold=0.8, nbands=8, rbits=4, dim=16)
-    hyd = sorted(map(tuple, near_dup_pairs(emb, **kw).collect()))
+    hyd = sorted(map(tuple, near_dup_pairs(emb, mode="hydrate", **kw).collect()))
     inj = sorted(map(tuple, near_dup_pairs(emb, mode="injoin", **kw).collect()))
+    auto = sorted(map(tuple, near_dup_pairs(emb, **kw).collect()))  # default=auto
     assert hyd == inj and len(hyd) > 0
+    assert auto == hyd
     with pytest.raises(ValueError, match="injoin"):
         near_dup_pairs(emb, mode="nope", **kw)
+
+
+def test_near_dup_auto_mode_decision():
+    """mode='auto' must pick injoin exactly when the projected hydrate
+    exchange outgrows both the banded sides and the 1 GiB materiality
+    floor — the measured 3.2M regime — and keep the oracle-twin
+    hydrate shape at gate scale."""
+    from legal_text_retrieval_spark.operators.similarity import (
+        _AUTO_INJOIN_MIN_BYTES,
+        banded_exchange_bytes,
+        hydrate_exchange_bytes,
+    )
+
+    def resolved(n, nbands, rbits, dim):
+        hb = hydrate_exchange_bytes(n, nbands, rbits, dim)
+        return (
+            "injoin"
+            if hb > max(banded_exchange_bytes(n, nbands, dim), _AUTO_INJOIN_MIN_BYTES)
+            else "hydrate"
+        )
+
+    # gate scale (500 vectors, defaults): sub-GiB exchange → hydrate
+    assert resolved(500, 16, 4, 64) == "hydrate"
+    # the measured round-5 death: 3.2M × 8 bands, auto-rbits buckets
+    # ~16 (occupancy 16 ⇒ rbits such that n/2^rbits ≈ 16 → rbits=18):
+    # hydrate ≈ 213 GB ≫ banded ≈ 27 GB → injoin
+    assert resolved(3_200_000, 8, 18, 64) == "injoin"
+    # large but bucket-sparse (occupancy ≪ 1): candidates are rare,
+    # hydrate stays the cheaper exchange
+    assert resolved(3_200_000, 8, 40, 64) == "hydrate"
+
+
+def test_dedup_auto_checkpoint_decision(spark, tmp_path):
+    """checkpoint_dir='auto' must stay single-lineage when the
+    projected sweep footprint fits free disk (gate scale) and return a
+    session-scoped barrier dir when it cannot."""
+    import shutil
+
+    from legal_text_retrieval_spark.operators.dedup import (
+        _SWEEP_SHUFFLE_BYTES_PER_SHINGLE,
+        _auto_checkpoint_dir,
+    )
+
+    free = shutil.disk_usage("/tmp").free
+    # tiny sweep: projected bytes ≪ free → no barrier
+    assert _auto_checkpoint_dir(spark, 10_000) is None
+    # projected footprint past free/2 → barrier dir created
+    over = (free // _SWEEP_SHUFFLE_BYTES_PER_SHINGLE) + 1
+    d = _auto_checkpoint_dir(spark, over)
+    assert d is not None and Path(d).is_dir()
+    assert spark.sparkContext.applicationId in d
+    shutil.rmtree(Path(d).parent, ignore_errors=True)
