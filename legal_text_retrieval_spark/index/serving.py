@@ -32,8 +32,10 @@ from .builder import IndexPaths
 
 @dataclass
 class _TermPostings:
-    doc_ids: np.ndarray  # int64, sorted
-    slots: np.ndarray  # int64 positions in the sorted doc-id census
+    # raw doc_ids are NOT kept: query() accumulates into a slot-indexed
+    # dense array and recovers ids via all_doc_ids[matched], so resident
+    # cost is slots + contribs only (12 B/posting with int32 slots)
+    slots: np.ndarray  # int32 (int64 if n_docs >= 2**31) census positions
     contribs: np.ndarray  # float64 matched-part contribution (idf excluded)
 
 
@@ -73,17 +75,21 @@ class LocalIndexServer:
 
     @staticmethod
     def resident_estimate(manifest: dict) -> int:
-        """Bytes this server will hold resident after load, estimated
-        from manifest stats alone (no data read): decoded postings are
-        three 8-byte arrays per posting (doc_ids, slots, contribs),
+        """Bytes this server will hold resident across load, estimated
+        from manifest stats alone (no data read).  This budgets the
+        load-time PEAK (what the admission guard must cover), not just
+        the end state: staging arrays are two 8-byte arrays per posting
+        (int64 doc_ids + float64 tf-part) that free as the resident
+        form (int32 slots + float64 contribs, 12 B/posting) builds,
         the dictionary ~150 B/term (string + two dict entries), the
-        doc-id census 8 B/doc, plus the transient driver collect of
-        the compressed bytes."""
+        doc-id census 8 B/doc, and the driver collect of the
+        compressed posting rows (~3x bytes_compressed for Row/py4j
+        framing, calibrated against the measured 3.2M-doc load)."""
         return int(
-            24 * manifest.get("total_postings", 0)
+            16 * manifest.get("total_postings", 0)
             + 150 * manifest.get("vocab_size", 0)
             + 8 * manifest.get("n_docs", 0)
-            + manifest.get("bytes_compressed", 0)
+            + 3 * manifest.get("bytes_compressed", 0)
         )
 
     @classmethod
@@ -170,15 +176,21 @@ class LocalIndexServer:
                 dtype=np.int64,
             )
         )
-        for term, segs in parts.items():
+        # slot = position in the sorted census: the accumulator is
+        # sized by n_docs, not max doc_id — sparse id spaces (e.g.
+        # chunked corpora at CHUNK_ID_BASE ≈ 1e9) stay O(n_docs).
+        # parts entries are popped as they convert so the 16 B/posting
+        # staging arrays free while the 12 B/posting resident form
+        # builds — load peak stays ~16 B/posting instead of stacking
+        # both forms (the round-6 3.2M measurement caught exactly that:
+        # 5.83 GiB resident where the estimate said 3.86).
+        slot_dtype = np.int32 if len(srv.all_doc_ids) < (1 << 31) else np.int64
+        for term in list(parts):
+            segs = parts.pop(term)
             segs.sort(key=lambda t: t[0])  # docID order across segments
             ids = np.concatenate([s[1] for s in segs])
-            # slot = position in the sorted census: the accumulator is
-            # sized by n_docs, not max doc_id — sparse id spaces (e.g.
-            # chunked corpora at CHUNK_ID_BASE ≈ 1e9) stay O(n_docs)
             srv.term_post[term] = _TermPostings(
-                ids,
-                np.searchsorted(srv.all_doc_ids, ids),
+                np.searchsorted(srv.all_doc_ids, ids).astype(slot_dtype, copy=False),
                 np.concatenate([s[2] for s in segs]),
             )
         return srv

@@ -247,12 +247,22 @@ def run_chunked(n_docs: int, cores: int = 16) -> dict:
     return summary
 
 
-def _vm_rss_bytes() -> int:
+def _vm_rss_bytes(field: str = "VmRSS:") -> int:
     with open("/proc/self/status") as f:
         for line in f:
-            if line.startswith("VmRSS:"):
+            if line.startswith(field):
                 return int(line.split()[1]) * 1024
     return 0
+
+
+def _reset_vm_peak() -> None:
+    """Reset VmHWM to current VmRSS so the next VmHWM read is the peak
+    of the section being measured (Linux clear_refs code 5)."""
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+    except OSError:
+        pass
 
 
 def run_serving(n_docs: int, cores: int = 16) -> dict:
@@ -289,11 +299,13 @@ def run_serving(n_docs: int, cores: int = 16) -> dict:
 
     manifest = json.loads(Path(IndexPaths(out_dir).manifest).read_text())
     est = LocalIndexServer.resident_estimate(manifest)
+    _reset_vm_peak()
     rss0 = _vm_rss_bytes()
     t0 = time.time()
     srv = LocalIndexServer.load(spark, out_dir)
     load_s = time.time() - t0
     rss_delta = _vm_rss_bytes() - rss0
+    peak_delta = _vm_rss_bytes("VmHWM:") - rss0
 
     qtexts = [
         r.query_text for r in derived_queries(docs).limit(200).collect()
@@ -315,7 +327,8 @@ def run_serving(n_docs: int, cores: int = 16) -> dict:
         "load_seconds": round(load_s, 1),
         "resident_estimate_gib": round(est / (1 << 30), 2),
         "measured_rss_delta_gib": round(rss_delta / (1 << 30), 2),
-        "estimate_vs_measured": round(est / max(1, rss_delta), 2),
+        "measured_load_peak_gib": round(peak_delta / (1 << 30), 2),
+        "estimate_vs_peak": round(est / max(1, peak_delta), 2),
         "serving_p50_ms": round(float(lats[len(lats) // 2]), 2),
         "serving_p95_ms": round(float(lats[int(len(lats) * 0.95)]), 2),
     }
