@@ -40,6 +40,10 @@ def ensure_corpus(n_docs: int) -> str:
     pdf = make_corpus_fast(n_docs)
     shutil.rmtree(CORPUS, ignore_errors=True)
     Path(CORPUS).unlink(missing_ok=True)
+    # drop other sizes' markers: the corpus path is shared, so a stale
+    # marker would let a later run at that size silently read this one
+    for old in Path(CORPUS).parent.glob(Path(CORPUS).name + ".*.ok"):
+        old.unlink(missing_ok=True)
     pdf.to_parquet(CORPUS, index=False)
     marker.write_text("ok")
     return CORPUS
