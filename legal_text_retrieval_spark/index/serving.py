@@ -64,6 +64,40 @@ def system_memory_budget() -> int:
     return DEFAULT_MEMORY_BUDGET
 
 
+#: the forked shard workers' handle to the parent's loaded server
+#: (set by start_workers immediately before the fork, inherited COW)
+_SHARD_SERVER: "LocalIndexServer | None" = None
+
+
+def _shard_topk(args):
+    """Worker body: dense accumulation over one census slice, then the
+    slice's top-k by the same (score, doc_id) lexsort rule as
+    ``LocalIndexServer.query``.  Pure numpy over fork-inherited arrays
+    — no py4j, no imports, no writes to shared pages."""
+    s, S, terms, k = args
+    srv = _SHARD_SERVER
+    census = srv.all_doc_ids
+    size = len(census)
+    lo, hi = s * size // S, (s + 1) * size // S
+    score = np.zeros(hi - lo, dtype=np.float64)
+    matched = np.zeros(hi - lo, dtype=bool)
+    for t, w in terms:  # ascending term order == the engine fold
+        tp = srv.term_post.get(t)
+        if tp is None:
+            continue
+        i0, i1 = np.searchsorted(tp.slots, (lo, hi))
+        sl = tp.slots[i0:i1] - lo
+        score[sl] += w * tp.contribs[i0:i1]
+        matched[sl] = True
+    cand_ids = census[lo:hi][matched]
+    cand_ms = score[matched]
+    n = len(cand_ids)
+    if n > k:
+        order = np.lexsort((cand_ids, cand_ms))[-k:]
+        cand_ids, cand_ms = cand_ids[order], cand_ms[order]
+    return n, cand_ids, cand_ms
+
+
 class LocalIndexServer:
     def __init__(self, params: BM25Params, avgdl: float, n_docs: int):
         self.params = params
@@ -267,6 +301,81 @@ class LocalIndexServer:
         order = np.lexsort((cand_ids, cand_scores))
         sel = order[-k_loc:][::-1]
         return [(int(cand_ids[i]), float(cand_scores[i])) for i in sel]
+
+    # ------------------------------------------------------------------
+    # sharded serving: doc-partition scatter-gather inside one node
+    # ------------------------------------------------------------------
+    def start_workers(self, n_workers: int) -> None:
+        """Fork a pool of ``n_workers`` shard workers, each owning a
+        contiguous slice of the doc-id census.  Fork shares the loaded
+        postings copy-on-write (numpy data pages are never written, so
+        resident cost stays one index), and each query fans out as
+        slice-local dense accumulation + slice top-k, merged by the
+        SAME lexsort rule as ``query`` — results are bit-identical
+        (tests/test_serving.py::test_query_sharded_bit_identical):
+        per-doc adds stay in ascending term order inside one shard,
+        shards own disjoint doc ids, and the global top-k is a subset
+        of the union of per-shard top-ks.  This is the single-node
+        half of the documented scale-out story (the cross-node half is
+        the same scatter-gather over doc partitions)."""
+        import multiprocessing as mp
+
+        if getattr(self, "_pool", None) is not None:
+            raise RuntimeError("workers already started")
+        global _SHARD_SERVER
+        _SHARD_SERVER = self
+        ctx = mp.get_context("fork")  # COW-share the loaded index
+        self._pool = ctx.Pool(n_workers)
+        self._n_workers = n_workers
+
+    def stop_workers(self) -> None:
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.terminate()
+            pool.join()
+            self._pool = None
+
+    def __enter__(self) -> "LocalIndexServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop_workers()
+
+    def query_sharded(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        """``query`` semantics, computed by the forked shard pool.
+        Deficit (< k matches) and negative-idf padding are decided from
+        the shards' matched counts and served by the sequential path —
+        rare at the scales where sharding matters, and bit-identity is
+        then trivial."""
+        if getattr(self, "_pool", None) is None:
+            raise RuntimeError("call start_workers(n) first")
+        p = self.params
+        toks = ws_split(standardize_data(query_text))
+        qtf: dict[str, int] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0) + 1
+        qconst = 0.0
+        if p.variant == "plus":
+            acc = 0.0
+            for t in sorted(qtf):
+                acc += qtf[t] * self.term_idf.get(t, 0.0)
+            qconst = p.delta * acc
+        terms = [
+            (t, float(qtf[t]) * self.term_idf[t])
+            for t in sorted(qtf)
+            if t in self.term_idf and self.term_idf[t] != 0.0
+        ]
+
+        S = self._n_workers
+        parts = self._pool.map(_shard_topk, [(s, S, terms, k) for s in range(S)])
+        n_matched = sum(n for n, _, _ in parts)
+        if n_matched < k or getattr(self, "has_negative_idf", False):
+            return self.query(query_text, k)
+        cand_ids = np.concatenate([ids for _, ids, _ in parts])
+        cand_ms = np.concatenate([ms for _, _, ms in parts])
+        order = np.lexsort((cand_ids, cand_ms))
+        sel = order[-min(k, len(cand_ids)):][::-1]
+        return [(int(cand_ids[i]), qconst + float(cand_ms[i])) for i in sel]
 
     def query_parents(self, query_text: str, k: int) -> list[int]:
         """Top-k over a chunked-corpus index (operators.chunk.

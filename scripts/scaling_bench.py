@@ -322,6 +322,22 @@ def run_serving(n_docs: int, cores: int = 16) -> dict:
         srv.query(qt, 150)
         lats.append((time.time() - t0) * 1000)
     lats = np.sort(np.array(lats))
+
+    # doc-partition scatter-gather (fork pool, COW-shared postings) —
+    # bit-identical to the sequential path (test_query_sharded_bit_identical)
+    n_workers = max(2, cores // 2)
+    srv.start_workers(n_workers)
+    try:
+        for qt in qtexts[:20]:
+            srv.query_sharded(qt, 150)  # warm
+        slats = []
+        for qt in qtexts:
+            t0 = time.time()
+            srv.query_sharded(qt, 150)
+            slats.append((time.time() - t0) * 1000)
+    finally:
+        srv.stop_workers()
+    slats = np.sort(np.array(slats))
     summary = {
         "op": "serving_scale",
         "n_docs": n_docs,
@@ -335,6 +351,9 @@ def run_serving(n_docs: int, cores: int = 16) -> dict:
         "estimate_vs_peak": round(est / max(1, peak_delta), 2),
         "serving_p50_ms": round(float(lats[len(lats) // 2]), 2),
         "serving_p95_ms": round(float(lats[int(len(lats) * 0.95)]), 2),
+        "sharded_workers": n_workers,
+        "sharded_p50_ms": round(float(slats[len(slats) // 2]), 2),
+        "sharded_p95_ms": round(float(slats[int(len(slats) * 0.95)]), 2),
     }
     spark.stop()
     print(json.dumps(summary))

@@ -76,3 +76,28 @@ def test_serving_memory_budget_guard(spark, tiny_docs, tmp_path_factory):
     for budget in (serving.DEFAULT_MEMORY_BUDGET, est, None):
         srv = serving.LocalIndexServer.load(spark, root, memory_budget_bytes=budget)
         assert srv.n_docs == manifest["n_docs"]
+
+
+def test_query_sharded_bit_identical(served, tiny_queries_pdf):
+    """Doc-partition scatter-gather == sequential query, bit for bit:
+    per-doc adds stay in ascending term order inside one shard, shards
+    own disjoint doc ids, and the merge reuses the same (score, id)
+    lexsort rule.  Deficit (k > matches) falls back to the sequential
+    path, so padding semantics are preserved verbatim."""
+    _, srv = served
+    srv.start_workers(3)
+    try:
+        for _, row in tiny_queries_pdf.iterrows():
+            for k in (1, 10, 300):  # 300 > n_docs: deficit fallback
+                want = srv.query(row.query_text, k)
+                got = srv.query_sharded(row.query_text, k)
+                assert [d for d, _ in got] == [d for d, _ in want], (row.query_id, k)
+                gs = np.array([s for _, s in got])
+                ws = np.array([s for _, s in want])
+                assert (gs.view("int64") == ws.view("int64")).all(), (row.query_id, k)
+        # OOV query: all-pad path (deficit) through the fallback
+        assert srv.query_sharded("zz yy xx", 5) == srv.query("zz yy xx", 5)
+    finally:
+        srv.stop_workers()
+    with pytest.raises(RuntimeError):
+        srv.query_sharded("a", 5)
