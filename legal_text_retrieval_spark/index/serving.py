@@ -377,16 +377,19 @@ class LocalIndexServer:
         sel = order[-min(k, len(cand_ids)):][::-1]
         return [(int(cand_ids[i]), qconst + float(cand_ms[i])) for i in sel]
 
-    def query_parents(self, query_text: str, k: int) -> list[int]:
+    def query_parents(self, query_text: str, k: int, sharded: bool = False) -> list[int]:
         """Top-k over a chunked-corpus index (operators.chunk.
         chunked_corpus id space) with the reference's sub-id strip +
         keep-first dedup (/root/reference/src/utils.py:169-183): parent
         doc_ids in rank order — the serving-mode twin of
-        operators.chunk.parent_dedup."""
+        operators.chunk.parent_dedup.  ``sharded=True`` routes the
+        top-k through the (bit-identical) shard pool — start_workers
+        first."""
         from ..operators.chunk import CHUNK_ID_BASE
 
+        topk = self.query_sharded if sharded else self.query
         out: list[int] = []
-        for doc_id, _score in self.query(query_text, k):
+        for doc_id, _score in topk(query_text, k):
             parent = (
                 (doc_id - CHUNK_ID_BASE) // 16 if doc_id >= CHUNK_ID_BASE else doc_id
             )

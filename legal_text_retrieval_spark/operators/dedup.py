@@ -400,6 +400,27 @@ def _auto_checkpoint_dir(spark, est_rows: int) -> str | None:
         return None
     if projected * 2 <= free:
         return None
+    if projected // 2 > free:
+        # the barrier splits the lineage, but the candidate phase ALONE
+        # carries roughly half the projected bytes — past this point no
+        # barrier placement fits this disk (measured: 6.4M docs under
+        # lz4 filled a 72 GB-free disk inside phase 1, BASELINE round
+        # 6).  The operator cannot change the shuffle codec itself
+        # (spark.io.compression.codec is fixed at context start), so
+        # say what will: zstd's ~2x text ratio, or aggregate shuffle
+        # disk (executors), or a smaller slice.
+        import warnings
+
+        warnings.warn(
+            f"dedup_minhash_lsh: projected sweep shuffle ≈"
+            f"{projected / (1 << 30):.0f} GiB vs {free / (1 << 30):.0f} GiB "
+            "free in the Spark local dir — even one barriered phase may "
+            "not fit. Start the session with "
+            "spark.io.compression.codec=zstd (~2x text ratio), add "
+            "shuffle disk (more executors on a cluster), or sweep a "
+            "partition of the corpus at a time.",
+            stacklevel=3,
+        )
     d = (
         Path(local_dir)
         / f"lts_dedup_barrier_{spark.sparkContext.applicationId}"
@@ -453,8 +474,11 @@ def dedup_minhash_lsh(
     barrier is what makes the sweep restartable after candidate
     generation.  Output is bit-identical either way
     (tests/test_dedup_similarity.py::test_minhash_lsh_checkpoint_parity);
-    cost is one parquet round-trip of the candidates plus one extra
-    tokenize pass for the verify side's shingles.
+    cost is one parquet round-trip of the candidates plus re-tokenizing
+    the corpus in each verify consumer (4 streamed passes) — in barrier
+    mode NOTHING corpus-volume is cached, because the cache spill (not
+    the map-side-combined shuffles) is what made the sweep disk- and
+    heap-bound at 6.4M docs (BASELINE round 6).
 
     The default ``checkpoint_dir="auto"`` selects the barrier from the
     same volume estimate the partition-sizing rule uses: when the
@@ -472,8 +496,22 @@ def dedup_minhash_lsh(
         _ensure_dedup_partitions(docs, text_col, est_rows=est_rows)
     if checkpoint_dir == "auto":
         checkpoint_dir = _auto_checkpoint_dir(docs.sparkSession, est_rows)
-    sh = doc_shingles(docs, n, text_col).cache()
-    owned: list[DataFrame] | None = [sh]
+    if checkpoint_dir is not None:
+        # barrier mode: do NOT cache the shingle relation for the
+        # candidate phase.  Signatures consume it exactly once there,
+        # and the verify phase re-pins its own copy after the barrier —
+        # so the cache would only spill the full exploded relation
+        # (est_rows × ~30 B of shingle text) to disk inside the
+        # heaviest phase for zero reuse.  Measured at 6.4M docs: the
+        # candidate phase alone filled a 72 GB-free disk WITH the
+        # phase-1 cache (both codecs); dropping it is what brings
+        # phase 1 back under the signature-aggregation shuffle's own
+        # footprint (BASELINE round 6).
+        sh = None
+        owned: list[DataFrame] | None = []
+    else:
+        sh = doc_shingles(docs, n, text_col).cache()
+        owned = [sh]
     cand = minhash_band_candidates(
         docs, n, text_col, bucket_cap, _shingles=sh, _owned_caches=owned
     )
@@ -491,7 +529,17 @@ def dedup_minhash_lsh(
             c.unpersist()
         cand = sh = owned = None
         _request_shuffle_cleanup(spark)
-        sh = doc_shingles(docs, n, text_col).cache()  # re-pin for verify
+        # verify runs UNCACHED in barrier mode: its four shingle
+        # consumers (two sides × sizes + intersection) re-tokenize as
+        # streamed map work instead of pinning a corpus-volume cache.
+        # Tokenize is minutes of map CPU at 6.4M; the cache spill is
+        # what actually broke at that scale — it was ~ALL of the
+        # measured 50-80 GB phase footprint (the signature shuffle is
+        # map-side-combined to n_docs×16 mins, near-zero bytes) and,
+        # re-pinned for verify, the storage blocks squeezed execution
+        # memory into a ShuffleExternalSorter heap OOM at default 8g
+        # (BASELINE round 6).  Map CPU scales with executors; a
+        # corpus-volume cache on one node does not.
         cand = spark.read.parquet(cand_path)
     return dedup_ngram_jaccard(
         docs, n, threshold, text_col, pairs=cand, _shingles=sh

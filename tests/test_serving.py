@@ -101,3 +101,15 @@ def test_query_sharded_bit_identical(served, tiny_queries_pdf):
         srv.stop_workers()
     with pytest.raises(RuntimeError):
         srv.query_sharded("a", 5)
+
+
+def test_query_parents_sharded_identical(served, tiny_queries_pdf):
+    _, srv = served
+    srv.start_workers(2)
+    try:
+        for _, row in tiny_queries_pdf.iterrows():
+            assert srv.query_parents(row.query_text, 10, sharded=True) == srv.query_parents(
+                row.query_text, 10
+            )
+    finally:
+        srv.stop_workers()
