@@ -59,10 +59,22 @@ def dedup_exact_sql(table: str, text_col: str = "text") -> str:
 
 def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "content") -> DataFrame:
     """(doc_id, shingle) distinct n-token shingles of the BM25 token
-    stream; short docs yield one whole-doc shingle."""
+    stream, carried as their 60-bit md5 hash (md5_hash60 — the same
+    value MinHash always derived from, so signatures are unchanged);
+    short docs yield one whole-doc shingle.
+
+    Hash-encoding here (round 6) is what every corpus-volume dedup
+    exchange ships: (int64, int64) rows instead of ~40 B shingle
+    strings — a ~3× byte cut on the verify joins that dominate the
+    sweep's shuffle disk at ≥3.2M docs, plus int64 sort-merge keys.
+    Jaccard becomes jaccard over hashed shingles; the DuckDB twin
+    hashes identically (md5_hash60_sql), so engine and oracle agree
+    bit-for-bit INCLUDING any collision (none expected below ~2^30
+    distinct shingles; E[colliding pairs] ≈ n²/2^61)."""
     return (
         docs.select("doc_id", tokenize(F.col(text_col)).alias("toks"))
-        .select("doc_id", F.explode(shingle_expr("toks", n)).alias("shingle"))
+        .select("doc_id", F.explode(shingle_expr("toks", n)).alias("shingle_s"))
+        .select("doc_id", md5_hash60(F.col("shingle_s")).alias("shingle"))
         .distinct()
     )
 
@@ -142,8 +154,9 @@ def _ensure_dedup_partitions(
 def _shingles_sql(table: str, n: int, text_col: str) -> str:
     t = tokens_sql(text_col)
     parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    h = md5_hash60_sql("shingle")
     return f"""
-SELECT DISTINCT doc_id, shingle FROM (
+SELECT DISTINCT doc_id, {h} AS shingle FROM (
   SELECT doc_id, unnest(CASE WHEN len(toks) < {n}
     THEN [array_to_string(toks, ' ')]
     ELSE list_transform(generate_series(1, len(toks) - {n} + 1), i -> {parts}) END) AS shingle
@@ -268,7 +281,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, mh0..mh{15}) MinHash signature from shingle hashes."""
     base = _shingles if _shingles is not None else doc_shingles(docs, n, text_col)
-    sh = base.withColumn("h", md5_hash60(F.col("shingle")) % _P)
+    # doc_shingles already carries md5_hash60(shingle) — same base hash
+    # MinHash always used, so signatures are bit-identical to the
+    # string-shingle era
+    sh = base.withColumn("h", F.col("shingle") % _P)
     aggs = [
         F.min(F.expr(f"({_A[i]} * h + {_B[i]}) % {_P}")).alias(f"mh{i}")
         for i in range(_NPERM)
@@ -277,9 +293,9 @@ def minhash_signatures(
 
 
 def _signatures_sql(table: str, n: int, text_col: str) -> str:
-    h = md5_hash60_sql("shingle")
+    # shingle is already the md5_hash60 value (see _shingles_sql)
     mins = ", ".join(
-        f"min(({_A[i]} * (({h}) % {_P}) + {_B[i]}) % {_P}) AS mh{i}" for i in range(_NPERM)
+        f"min(({_A[i]} * (shingle % {_P}) + {_B[i]}) % {_P}) AS mh{i}" for i in range(_NPERM)
     )
     return f"SELECT doc_id, {mins} FROM ({_shingles_sql(table, n, text_col)}) GROUP BY doc_id"
 
