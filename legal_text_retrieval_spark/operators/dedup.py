@@ -446,6 +446,34 @@ def _auto_checkpoint_dir(spark, est_rows: int) -> str | None:
     return str(d)
 
 
+#: effective on-disk shuffle bytes per (candidate-pair × shingle) of
+#: one verify slice's exchanges (semi sides + pair-first intersection,
+#: zstd).  Measured round 6 at 6.4M docs: ~40M candidates × ~78
+#: shingles/doc accumulated >70 GB across the verify lineage.
+_VERIFY_BYTES_PER_CAND_SHINGLE = 30
+
+
+def _auto_verify_slices(spark, n_cand: int, avg_shingles: float) -> int:
+    """How many slices the verify phase needs so ONE slice's exchanges
+    fit half the local dir's free disk.  1 = unsliced (small sweeps)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    try:
+        local_dir = spark.conf.get("spark.local.dir", None)
+    except Exception:
+        local_dir = None
+    local_dir = (local_dir or _tf.gettempdir()).split(",")[0]
+    try:
+        free = _sh.disk_usage(local_dir).free
+    except OSError:
+        return 1
+    projected = int(n_cand * avg_shingles * _VERIFY_BYTES_PER_CAND_SHINGLE)
+    if projected <= free // 2:
+        return 1
+    return min(16, -(-projected // max(1, free // 2)))
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     n: int = 3,
@@ -454,6 +482,7 @@ def dedup_minhash_lsh(
     bucket_cap: int | None = _BUCKET_CAP,
     auto_partitions: bool = True,
     checkpoint_dir: str | None = "auto",
+    verify_slices: int | str = "auto",
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): banded-LSH candidates (8 bands × 2 rows,
     stop-buckets above ``bucket_cap`` skipped) verified with exact
@@ -504,7 +533,17 @@ def dedup_minhash_lsh(
     a session-scoped temp dir — so a caller running 3.2M docs with
     defaults no longer reproduces the measured ENOSPC death (VERDICT
     r5 wrong #1).  Pass None to force single-lineage, or a path to
-    place the barrier explicitly (restartable-pipeline use)."""
+    place the barrier explicitly (restartable-pipeline use).
+
+    ``verify_slices`` (barrier mode only — slices write under
+    ``checkpoint_dir``) additionally partitions the candidate pairs
+    into deterministic hash slices verified one job at a time, so the
+    verify phase's live shuffle is bounded by ONE slice's exchanges —
+    the lever for corpora whose verify lineage alone outgrows local
+    disk (measured at 6.4M docs, BASELINE round 6).  "auto" sizes the
+    slice count from the candidate count × shingles/doc estimate vs
+    free disk (1 = unsliced below the threshold); the union is
+    bit-identical (test_minhash_lsh_verify_slices_parity)."""
     est_rows = None
     if auto_partitions or checkpoint_dir == "auto":
         est_rows = estimate_shingle_rows(docs, text_col)
@@ -557,6 +596,41 @@ def dedup_minhash_lsh(
         # (BASELINE round 6).  Map CPU scales with executors; a
         # corpus-volume cache on one node does not.
         cand = spark.read.parquet(cand_path)
+        # ---- sliced verify: bound the verify phase's own disk ----
+        # The verify lineage carries several corpus- and candidate-
+        # volume exchanges that all coexist until the final action
+        # (measured round 6: >70 GB at 6.4M docs even with hashed
+        # shingles — the phase itself outgrew the disk the barrier had
+        # freed).  Partitioning the CANDIDATE PAIRS into deterministic
+        # hash slices and verifying each slice as its own job bounds
+        # live shuffle at one slice's worth: each slice writes its
+        # (tiny) verified pairs to parquet and releases its shuffles
+        # before the next starts.  Verification is per-pair and every
+        # pair lands in exactly one slice, so the union is bit-identical
+        # to the unsliced verify (test_minhash_lsh_verify_slices_parity);
+        # parquet round-trips preserve doubles exactly.  Cost: the
+        # corpus-volume semi-join sides are re-shuffled per slice —
+        # streamed map+exchange work that scales with executors, traded
+        # for a per-slice disk bound no single exchange can break.
+        n_slices = verify_slices
+        if n_slices == "auto":
+            n_cand = cand.count()
+            avg_sh = (est_rows / max(1, docs.count())) if est_rows else 80.0
+            n_slices = _auto_verify_slices(spark, n_cand, avg_sh)
+        if n_slices > 1:
+            out_paths = []
+            for k in range(n_slices):
+                sl = cand.filter(
+                    F.pmod(F.xxhash64(F.col("doc_a"), F.col("doc_b")), F.lit(n_slices))
+                    == k
+                )
+                out_path = f"{checkpoint_dir.rstrip('/')}/verify_{k:03d}"
+                dedup_ngram_jaccard(docs, n, threshold, text_col, pairs=sl).select(
+                    "doc_a", "doc_b", "jaccard"
+                ).write.mode("overwrite").parquet(out_path)
+                _request_shuffle_cleanup(spark)
+                out_paths.append(out_path)
+            return spark.read.parquet(*out_paths)
     return dedup_ngram_jaccard(
         docs, n, threshold, text_col, pairs=cand, _shingles=sh
     ).select("doc_a", "doc_b", "jaccard")

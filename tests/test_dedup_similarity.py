@@ -486,6 +486,32 @@ def test_minhash_lsh_checkpoint_parity(spark, dup_docs, tmp_path):
     assert (tmp_path / "ckpt" / "candidates").exists()
 
 
+def test_minhash_lsh_verify_slices_parity(spark, dup_docs, tmp_path):
+    """Sliced verify (candidate pairs hash-partitioned into per-job
+    slices, each writing its verified pairs under the barrier dir)
+    must union to exactly the unsliced rows — every pair lands in one
+    slice and verification is per-pair."""
+    from legal_text_retrieval_spark.operators.dedup import dedup_minhash_lsh
+
+    plain = sorted(
+        map(tuple, dedup_minhash_lsh(dup_docs, threshold=0.2).collect())
+    )
+    sliced = sorted(
+        map(
+            tuple,
+            dedup_minhash_lsh(
+                dup_docs,
+                threshold=0.2,
+                checkpoint_dir=str(tmp_path / "ck3"),
+                verify_slices=3,
+            ).collect(),
+        )
+    )
+    assert plain == sliced and len(plain) > 0
+    assert (tmp_path / "ck3" / "verify_000").exists()
+    assert (tmp_path / "ck3" / "verify_002").exists()
+
+
 def test_near_dup_injoin_parity(spark):
     """mode='injoin' (embeddings ride through the band join, cosine
     map-side, distinct on survivors) must produce exactly the
