@@ -107,7 +107,9 @@ def build_or_load_index(spark, sf_dir: str):
     from legal_text_retrieval_spark.index.wand import FulltextIndex
 
     # bump the version segment whenever the index layout changes
-    root = f"/tmp/lts_index_v2/{Path(sf_dir.rstrip('/')).name}"
+    # (v3: dl-carrying termfreq stage + max_group lineage column — a
+    # stale v2 dir's intermediates would fail the resume path)
+    root = f"/tmp/lts_index_v3/{Path(sf_dir.rstrip('/')).name}"
     docs = _docs(spark, sf_dir)
     paths = build_index(
         spark, docs, root, IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
@@ -134,7 +136,7 @@ def _q_bm25okapi_topk_indexed(spark, sf_dir):
     from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
     from legal_text_retrieval_spark.sources import corpus as C
 
-    root = f"/tmp/lts_index_v2_okapi/{Path(sf_dir.rstrip('/')).name}"
+    root = f"/tmp/lts_index_v3_okapi/{Path(sf_dir.rstrip('/')).name}"
     docs = _docs(spark, sf_dir)
     paths = build_index(
         spark, docs, root, IndexParams(segment_doc_window=1 << 14, bm25=_OKAPI)
@@ -157,7 +159,7 @@ def _q_bm25_merged_topk(spark, sf_dir):
     from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
     from legal_text_retrieval_spark.sources import corpus as C
 
-    base = f"/tmp/lts_index_v2_merged/{Path(sf_dir.rstrip('/')).name}"
+    base = f"/tmp/lts_index_v3_merged/{Path(sf_dir.rstrip('/')).name}"
     docs = _docs(spark, sf_dir)
     params = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
     pa = build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), f"{base}/even", params)
@@ -179,7 +181,7 @@ def _q_bm25_deleted_topk(spark, sf_dir):
     from legal_text_retrieval_spark.index.wand import FulltextIndex, query_topk
     from legal_text_retrieval_spark.sources import corpus as C
 
-    base = f"/tmp/lts_index_v2_deleted/{Path(sf_dir.rstrip('/')).name}"
+    base = f"/tmp/lts_index_v3_deleted/{Path(sf_dir.rstrip('/')).name}"
     docs = _docs(spark, sf_dir)
     full = build_or_load_index(spark, sf_dir)
     doomed = [
@@ -214,7 +216,7 @@ def _q_bm25_upserted_topk(spark, sf_dir):
     # the builds via build_index's input fingerprint
     import os
 
-    base = f"/tmp/lts_index_v2_upserted/{os.getpid()}/{Path(sf_dir.rstrip('/')).name}"
+    base = f"/tmp/lts_index_v3_upserted/{os.getpid()}/{Path(sf_dir.rstrip('/')).name}"
     docs = _docs(spark, sf_dir)
     params = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
     overlap = F.col("doc_id") % 8 == 0
@@ -262,7 +264,7 @@ def _q_bm25_compacted_topk(spark, sf_dir):
         # rerun must land in a fresh dir (the within-process rerun
         # reuses the memoized compacted root instead)
         base = (
-            f"/tmp/lts_index_v2_compacted/{os.getpid()}/"
+            f"/tmp/lts_index_v3_compacted/{os.getpid()}/"
             f"{Path(sf_dir.rstrip('/')).name}_{uuid.uuid4().hex[:8]}"
         )
         params = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)
@@ -814,7 +816,7 @@ def _q_bm25_chunked_topk_indexed(spark, sf_dir):
     from legal_text_retrieval_spark.sources import corpus as C
 
     docs = _docs(spark, sf_dir)
-    root = f"/tmp/lts_index_chunked_v1/{Path(sf_dir.rstrip('/')).name}"
+    root = f"/tmp/lts_index_chunked_v2/{Path(sf_dir.rstrip('/')).name}"
     return bm25_chunked_topk_indexed(
         spark, docs, C.derived_queries(docs), NORTH_STAR_BM25, k=_K, out_dir=root, **_CHUNK
     )

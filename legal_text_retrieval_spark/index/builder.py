@@ -284,34 +284,66 @@ def write_lineage_and_metrics(
     postings/sec, bytes, skew ratio, per-partition records) and the
     final manifest write.  Shared by build and merge."""
     postings = spark.read.parquet(paths.postings)
-    if not (resume and _done(paths.lineage)):
-        postings.groupBy("term_id").agg(
-            F.sum("n_docs").alias("postings"),
-            F.sum("enc_bytes").alias("bytes"),
-            F.count("*").alias("segments"),
-        ).write.mode("overwrite").parquet(paths.lineage)
-    if not (resume and _done(paths.lineage_partitions)):
-        # per shuffle-partition record of the pack stage: which worker
-        # partition produced how many groups/postings/bytes
-        postings.groupBy("build_part").agg(
-            F.count("*").alias("groups"),
-            F.sum("n_docs").alias("postings"),
-            F.sum("enc_bytes").alias("bytes"),
-            F.min("term_id").alias("first_term_id"),
-            F.max("term_id").alias("last_term_id"),
-        ).write.mode("overwrite").parquet(paths.lineage_partitions)
+
+    def write_lineage():
+        if not (resume and _done(paths.lineage)):
+            # max_group (largest (term, seg) group) rides along so every
+            # whole-index metric below derives from THIS small table —
+            # the former extra full-postings aggregation job is gone
+            # (guide §1.2: don't compute things twice)
+            postings.groupBy("term_id").agg(
+                F.sum("n_docs").alias("postings"),
+                F.sum("enc_bytes").alias("bytes"),
+                F.count("*").alias("segments"),
+                F.max("n_docs").alias("max_group"),
+            ).write.mode("overwrite").parquet(paths.lineage)
+
+    def write_lineage_partitions():
+        if not (resume and _done(paths.lineage_partitions)):
+            # per shuffle-partition record of the pack stage: which worker
+            # partition produced how many groups/postings/bytes
+            postings.groupBy("build_part").agg(
+                F.count("*").alias("groups"),
+                F.sum("n_docs").alias("postings"),
+                F.sum("enc_bytes").alias("bytes"),
+                F.min("term_id").alias("first_term_id"),
+                F.max("term_id").alias("last_term_id"),
+            ).write.mode("overwrite").parquet(paths.lineage_partitions)
+
+    # the two bookkeeping writes are independent scans of the packed
+    # table — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(write_lineage)
+        fb = pool.submit(write_lineage_partitions)
+        fa.result()
+        fb.result()
     lineage = spark.read.parquet(paths.lineage)
-    # one combined metrics job over the (small) packed-postings table
-    agg = postings.agg(
-        F.sum("n_docs"),
-        F.sum("enc_bytes"),
-        F.max("n_docs"),
-        F.avg("n_docs"),
-        F.countDistinct("term_id"),
-    ).collect()[0]
-    total_postings, total_bytes, max_group, mean_group, vocab = agg
-    term_agg = lineage.agg(F.max("postings"), F.avg("postings")).collect()[0]
-    max_term_postings, mean_term_postings = term_agg
+    # ONE combined metrics job over the (vocab-sized) lineage table plus
+    # one over the (partition-count-sized) lineage_partitions table —
+    # the packed postings themselves are never re-aggregated
+    agg = (
+        lineage.agg(
+            F.sum("postings"),
+            F.sum("bytes"),
+            F.count("*"),
+            F.sum("segments"),
+            F.max("max_group"),
+            F.max("postings"),
+            F.avg("postings"),
+        )
+        .crossJoin(
+            spark.read.parquet(paths.lineage_partitions).agg(
+                F.count("*").alias("n_build_partitions")
+            )
+        )
+        .collect()[0]
+    )
+    (total_postings, total_bytes, vocab, n_groups,
+     max_group, max_term_postings, mean_term_postings, n_build_partitions) = agg
+    mean_group = total_postings / max(1, n_groups)
+    n_build_partitions = int(n_build_partitions)
     build_secs = sum(s.get("seconds", 0) for s in manifest["stages"].values())
     n_docs = manifest["n_docs"]
     manifest.update(
@@ -327,9 +359,7 @@ def write_lineage_and_metrics(
             "max_term_postings": int(max_term_postings),
             "max_group_postings": int(max_group),
             "build_seconds": round(build_secs, 3),
-            "n_build_partitions": int(
-                spark.read.parquet(paths.lineage_partitions).count()
-            ),
+            "n_build_partitions": n_build_partitions,
             "docs_per_sec": round(n_docs / max(1e-9, build_secs), 1),
             "postings_per_sec": round(total_postings / max(1e-9, build_secs), 1),
         }
@@ -385,7 +415,10 @@ def build_index(
     if docs.rdd.getNumPartitions() < target_parts:
         docs = docs.repartition(target_parts)
 
-    # -- stage: docs (+ sha256 integrity column, input_hint invariant)
+    # -- stage: docs (+ sha256 integrity column, input_hint invariant).
+    # termfreq reads this stage's parquet back rather than re-evaluating
+    # the caller's plan: for computed sources (chunked_corpus's explode
+    # union, a filtered scan) the source is evaluated exactly once.
     docs_cols = [c for c in ("doc_id", "repo", "path", "commit", "lang", text_col) if c in docs.columns]
     docs_idx = stage(
         "docs",
@@ -397,20 +430,39 @@ def build_index(
 
     # -- stage: termfreq — the SPIMI local runs.  Tokenize + explode
     # exactly ONCE; docstats, dictionary and postings all derive from
-    # this relation (dl == Σ tf per doc, empty-token terms included).
+    # this relation.  dl is computed AT tokenize time (size of the token
+    # array — identical to Σ tf per doc, empty-token terms included) and
+    # carried through the (doc_id, term) aggregation, so the postings
+    # stage needs NO doc_id-keyed join against docstats (guide §2.4:
+    # one less corpus-volume exchange) — the extra 8 bytes per grouped
+    # row is the whole cost.
     termfreq = stage(
         "termfreq",
         f"{out_dir}/termfreq",
-        lambda: ops_stats.term_frequencies(docs_idx, text_col),
+        lambda: ops_stats.term_frequencies_with_dl(docs_idx, text_col),
     )
+    from concurrent.futures import ThreadPoolExecutor
 
-    # -- stage: docstats
-    docstats = stage(
-        "docstats",
-        paths.docstats,
-        lambda: termfreq.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")),
-    )
-    n_docs, total_tokens = docstats.agg(F.count("*"), F.sum("dl")).collect()[0]
+    # -- stage docstats ∥ the n_docs/total_tokens scalars: the write and
+    # the aggregation both derive from the termfreq parquet and have no
+    # mutual dependency — overlap them too (dl is constant within a
+    # doc_id group: max == the value; count/sum over the grouped relation
+    # equal the old docstats-table aggregate exactly)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_docstats = pool.submit(
+            stage,
+            "docstats",
+            paths.docstats,
+            lambda: termfreq.groupBy("doc_id").agg(F.max("dl").alias("dl")),
+        )
+        f_scalars = pool.submit(
+            lambda: termfreq.groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .agg(F.count("*"), F.sum("dl"))
+            .collect()[0]
+        )
+        n_docs, total_tokens = f_scalars.result()
+        docstats = f_docstats.result()
     avgdl = float(total_tokens) / n_docs
     manifest["n_docs"] = int(n_docs)
     manifest["total_tokens"] = int(total_tokens)
@@ -428,10 +480,6 @@ def build_index(
             out_dir,
         ),
     )
-    # min_idf < 0 (okapi negative eps floor) invalidates WAND's
-    # block-max bounds — recorded so the query path can refuse loudly
-    manifest["min_idf"] = float(dictionary.agg(F.min("idf")).collect()[0][0])
-
     # -- stage: postings (segment-partitioned, packed, block-max metadata)
     # Pack-shuffle partition count scales with posting volume
     # (total_tokens is an exact upper bound on postings — Σ dl is
@@ -454,23 +502,38 @@ def build_index(
     def make_postings():
         flat = (
             termfreq.join(F.broadcast(dictionary.select("term", "term_id")), "term")
-            .join(docstats, "doc_id")
             .withColumn("seg_id", (F.col("doc_id") / params.segment_doc_window).cast("long"))
             .select("term_id", "seg_id", "doc_id", "tf", "dl")
         )
-        # hash-partition by group key, sort within partitions, stream-pack:
-        # ONE shuffle, contiguous runs, no pandas per-group overhead.
-        packed = (
-            flat.repartition(pack_parts, "term_id", "seg_id")
+        # RANGE-partition by group key, sort within partitions, stream-
+        # pack: ONE shuffle, contiguous runs, no pandas per-group
+        # overhead, and the output is already term_id-clustered for
+        # parquet row-group min/max pruning at query time.  The former
+        # shape (hash repartition → pack → repartitionByRange) paid a
+        # second full exchange of the packed rows AND ran the pack
+        # kernel TWICE, because RangePartitioner samples its child plan
+        # — sampling here re-runs only the map-side scan+broadcast-join
+        # (measured r7: postings stage 0.98 s → 0.60 s at sf0.1, and
+        # one packed-volume exchange removed at every scale).
+        return (
+            flat.repartitionByRange(pack_parts, "term_id", "seg_id")
             .sortWithinPartitions("term_id", "seg_id", "doc_id")
             .mapInPandas(_make_pack_fn(params, avgdl), POSTINGS_SCHEMA)
         )
-        # cluster by term_id for parquet row-group min/max pruning at query time
-        return packed.repartitionByRange(
-            pack_parts, "term_id", "seg_id"
-        ).sortWithinPartitions("term_id", "seg_id")
 
-    stage("postings", paths.postings, make_postings)
+    # min_idf < 0 (okapi negative eps floor) invalidates WAND's
+    # block-max bounds — recorded so the query path can refuse loudly.
+    # The tiny dictionary aggregate is independent of the pack shuffle,
+    # so it overlaps the postings stage (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_postings = pool.submit(stage, "postings", paths.postings, make_postings)
+        f_min_idf = pool.submit(
+            lambda: float(dictionary.agg(F.min("idf")).collect()[0][0])
+        )
+        manifest["min_idf"] = f_min_idf.result()
+        f_postings.result()
 
     # -- lineage + metrics (north_rule: postings/sec, bytes, skew ratio,
     # per-partition records)

@@ -263,16 +263,20 @@ def merge_indexes(
             )
 
         both = remap(pa, dict_a).unionByName(remap(pb, dict_b))
-        packed = (
-            both.repartition(
+        # range-partition the PRE-kernel packed rows: one exchange, the
+        # decode-merge-re-encode kernel runs once, and the output is
+        # already term_id-clustered for parquet min/max pruning.  The
+        # former hash-repartition → kernel → repartitionByRange shape
+        # paid a second exchange AND ran the kernel twice (the range
+        # partitioner samples its child plan); sampling now re-runs only
+        # the map-side remap joins (guide §2.4).
+        return (
+            both.repartitionByRange(
                 max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
             )
             .sortWithinPartitions("term_id", "seg_id")
             .mapInPandas(_make_merge_fn(params, avgdl), POSTINGS_SCHEMA)
         )
-        return packed.repartitionByRange(
-            max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
-        ).sortWithinPartitions("term_id", "seg_id")
 
     stage("postings", paths.postings, make_postings)
     write_lineage_and_metrics(spark, paths, manifest, resume)

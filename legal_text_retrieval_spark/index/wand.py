@@ -348,36 +348,41 @@ def query_topk(
     avgdl = index.manifest["avgdl"]
     window = index.manifest["params"]["segment_doc_window"]
 
-    qmap = queries.select(
-        F.col("query_id"), F.col("query_id").cast("string").alias("qid")
-    ).distinct()
     qocc = query_term_occurrences(queries, query_col).withColumn(
         "qid", F.col("query_id").cast("string")
     )
+    # ONE broadcast hydration of the query terms: qterms (the candidate
+    # generator) and qconst (the δ-constant) both derive from it, so the
+    # former qmap.distinct() exchange and its left-join back are gone
+    # (guide §2.4).  Every query appears in qocc — tokenize('') is [''],
+    # a 1-token doc — so qconst still covers all-OOV queries.
+    qjoin = qocc.join(
+        F.broadcast(index.dictionary().select("term", "term_id", "idf")), "term", "left"
+    ).fillna({"idf": 0.0})
     # idf == 0 terms (okapi df == n/2 exactly) contribute nothing but
     # would mark their postings as "matched" candidates — the relational
     # plan (and the reference) filters them out (bm25.py: idf != 0), so
     # the index path must too, or candidacy/deficit/pad sets diverge and
     # w == 0 invalidates the block-skip bound.
     qterms = (
-        qocc.join(
-            F.broadcast(index.dictionary().select("term", "term_id", "idf")), "term", "inner"
-        )
-        .filter(F.col("idf") != 0)
-        .select("qid", "term_id", "qtf", "idf")
+        qjoin.filter(F.col("idf") != 0).select("qid", "term_id", "qtf", "idf")
     )
 
-    # per-query δ-constant over ALL occurrences (OOV → idf 0 → drops out)
+    # per-query δ-constant over ALL occurrences, folded in term order
+    # exactly like the relational qconst (bm25.py) — OOV/zero-idf terms
+    # contribute an exact IEEE 0.0 at their fold position, so the sum is
+    # bit-identical to the old in-vocabulary term_id-ordered fold
     if params.variant == "plus":
         qconst = (
-            qterms.groupBy("qid")
+            qjoin.groupBy("qid", "query_id")
             .agg(
                 F.array_sort(
-                    F.collect_list(F.struct("term_id", (F.col("qtf") * F.col("idf")).alias("v")))
+                    F.collect_list(F.struct("term", (F.col("qtf") * F.col("idf")).alias("v")))
                 ).alias("a")
             )
             .select(
                 "qid",
+                "query_id",
                 F.expr(
                     f"CAST({params.delta!r} AS DOUBLE) * "
                     "aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)"
@@ -385,8 +390,17 @@ def query_topk(
             )
         )
     else:
-        qconst = qmap.select("qid", F.lit(0.0).alias("qconst"))
-    qconst = qmap.join(qconst, "qid", "left").fillna({"qconst": 0.0}).select("qid", "query_id", "qconst")
+        qconst = queries.select(
+            F.col("query_id").cast("string").alias("qid"),
+            "query_id",
+            F.lit(0.0).alias("qconst"),
+        )
+    # one row per query, referenced by the matched join, the deficit
+    # probe AND the pad branch — cache it so the probe job's
+    # materialization is reused instead of re-aggregating the query
+    # terms in every downstream job (session-lifetime by design, see
+    # CLAUDE.md cache policy / session.query_scope)
+    qconst = qconst.cache()
 
     # okapi negative-ε corner (mean idf0 < 0: tiny-vocab/repetitive
     # corpora): WAND's block-max bounds assume non-negative weights
@@ -447,6 +461,12 @@ def query_topk(
     # stage).  local top-k rows are tiny (≤ queries × segments × k) —
     # cache so the merge window, the deficit count and the padding
     # anti-join reuse one kernel materialization.
+    # explicit partition count: the kernel is CPU-heavy per input byte,
+    # so AQE's size-based coalescing (which a countless repartition
+    # would enable) collapses a small-but-compute-dense batch onto one
+    # or two cores — measured r7: batch 1.1 s → 2.7 s.  Keep one
+    # partition per core and eat the mostly-empty Python round-trips on
+    # tiny batches instead.
     spark_parallelism = max(1, spark.sparkContext.defaultParallelism)
     local = (
         joined.repartition(spark_parallelism, "qid", "seg_id")
@@ -455,11 +475,14 @@ def query_topk(
         .cache()
     )
 
+    # per-query relations (qconst, counts, pad_queries) are one row per
+    # query — broadcast them explicitly so the planner never sort-merges
+    # a tiny side (post-aggregation estimates are unreliable; guide §3.1)
     w = Window.partitionBy("qid").orderBy(F.desc("ms"), F.desc("doc_id"))
     matched = (
         local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .join(qconst, "qid")
+        .join(F.broadcast(qconst), "qid")
         .select(
             "qid",
             "query_id",
@@ -477,7 +500,7 @@ def query_topk(
     # segment's candidate count.)
     counts = local.groupBy("qid").agg(F.count("*").alias("n_matched"))
     need = (
-        qconst.join(counts, "qid", "left")
+        qconst.join(F.broadcast(counts), "qid", "left")
         .fillna({"n_matched": 0})
         .withColumn("deficit", F.greatest(F.lit(0), F.lit(k) - F.col("n_matched")))
     )
@@ -489,6 +512,18 @@ def query_topk(
     # unmatched docs (score qconst) can outrank matched ones.
     pad_queries = need if negative_weights else need.filter(F.col("deficit") > 0)
     pad_queries = pad_queries.select("qid", "query_id", "qconst")
+    # short-circuit: one tiny job over the (cached) kernel output
+    # decides whether any query pads.  In the common case (none) the
+    # returned plan is just `matched`, skipping the pad/merge/anti
+    # branch's ~5 sequential stage materializations per action
+    # (negative-weight mode always pads, so it keeps the full plan
+    # without paying the probe).  Bit-identical: with no pad queries,
+    # whole == matched and merged is empty.
+    if not negative_weights and pad_queries.limit(1).count() == 0:
+        out = matched.select("query_id", "doc_id", "rank", "score")
+        if score_round is not None:
+            out = out.withColumn("score", F.expr(round_sql("score", score_round)))
+        return out
     # unmatched docs all score exactly qconst; reference argsort puts
     # higher docIDs first among ties → the k highest unmatched ids are
     # the only pad candidates that can ever appear in the top k.
@@ -505,6 +540,14 @@ def query_topk(
         max_matched = need.agg(F.max("n_matched")).collect()[0][0] or 0
         pool_n = k + int(max_matched)
     else:
+        # deficit mode: pad queries have < k matched rows each, so the
+        # anti-join's right side shrinks to |pad_queries|·(k−1) once
+        # semi-filtered — broadcast-safe at any scale
+        all_matched = F.broadcast(
+            all_matched.join(
+                F.broadcast(pad_queries.select("qid")), "qid", "left_semi"
+            )
+        )
         pool_n = 2 * k - 1
     doc_pool = index.docstats().select("doc_id")
     n_docs_total = index.manifest.get("n_docs")
@@ -522,7 +565,7 @@ def query_topk(
     # candidates (handles both the deficit case and negative-weight
     # corpora exactly); untouched queries keep their matched ranks.
     merged_src = (
-        matched.join(pad_queries.select("qid"), "qid", "left_semi")
+        matched.join(F.broadcast(pad_queries.select("qid")), "qid", "left_semi")
         .select("qid", "query_id", "doc_id", "score")
         .unionByName(pads)
     )
@@ -532,7 +575,7 @@ def query_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "query_id", "doc_id", "rank", "score")
     )
-    whole = matched.join(pad_queries.select("qid"), "qid", "left_anti")
+    whole = matched.join(F.broadcast(pad_queries.select("qid")), "qid", "left_anti")
     out = whole.unionByName(merged).select("query_id", "doc_id", "rank", "score")
     if score_round is not None:
         out = out.withColumn("score", F.expr(round_sql("score", score_round)))

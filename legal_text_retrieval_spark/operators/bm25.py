@@ -129,13 +129,16 @@ class _BM25Pieces:
       ``pad_safe`` (every surviving idf is strictly positive).
     - ``qconst``: (query_id, qconst) — the per-query δ-constant every
       doc (matched or not) is owed; 0 for okapi.
-    - ``dl``: (doc_id, dl).
+    - ``doc_ids``: (doc_id) — the full corpus id set (map-only off the
+      source table; the pad/dense branches need ids, never dl).
     - ``pad_safe``: True when matched scores strictly exceed the
       unmatched score qconst, i.e. deficit-padding is rank-exact.
     """
 
-    def __init__(self, matched, qconst, dl, pad_safe):
-        self.matched, self.qconst, self.dl, self.pad_safe = matched, qconst, dl, pad_safe
+    def __init__(self, matched, qconst, doc_ids, pad_safe):
+        self.matched, self.qconst, self.doc_ids, self.pad_safe = (
+            matched, qconst, doc_ids, pad_safe,
+        )
 
 
 def _bm25_pieces(
@@ -145,12 +148,14 @@ def _bm25_pieces(
     text_col: str = "content",
     query_col: str = "query_text",
 ) -> _BM25Pieces:
-    # ONE tokenize+explode pass: dl and df derive from the cached tf
-    # relation (dl == Σ tf per doc — empty-string tokens are terms too,
-    # the same identity the index builder's termfreq stage uses), so
-    # the corpus is scanned/tokenized once instead of three times.
-    tf = stats.term_frequencies(docs, text_col).cache()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    # ONE tokenize+explode pass: df derives from the cached tf relation,
+    # and dl rides INSIDE tf (size of the token array == Σ tf per doc —
+    # empty-string tokens are terms too, the same identity the index
+    # builder's termfreq stage uses), so the corpus is scanned/tokenized
+    # once AND the matched plan needs no doc_id-keyed dl join at all
+    # (guide §2.4 — one less join against a corpus-sized relation).
+    tf = stats.term_frequencies_with_dl(docs, text_col).cache()
+    dl = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     n, avgdl = (
         dl.agg(F.count("*"), F.sum("dl").cast("double") / F.count("*")).collect()[0]
     )
@@ -197,11 +202,21 @@ def _bm25_pieces(
         qconst = queries.select("query_id", F.lit(0.0).alias("qconst"))
 
     tfpart = _tf_part(params).replace("__avgdl__", _fmt(avgdl))
+    # repartition by query_id BEFORE the (query, doc) aggregation: hash
+    # partitioning on query_id co-locates every (query_id, doc_id) group
+    # AND satisfies the downstream top-k window's requirement, so the
+    # aggregation, the window sort and WindowGroupLimit all ride ONE
+    # exchange instead of two (guide §2.4 — measured r7: matched+window
+    # 4.8 s → 2.4 s at sf0.1).  Partition count comes from
+    # spark.sql.shuffle.partitions (sized per deployment); per-query
+    # matched sets are corpus-bounded, so query_id-only clustering skews
+    # only when the query batch is tiny relative to the core count —
+    # exactly the case where the data is tiny too.
     matched = (
         qidf.filter(F.col("idf") != 0)
         .join(tf, "term")
-        .join(dl, "doc_id")
         .withColumn("contrib", F.expr(f"qtf * idf * {tfpart}"))
+        .repartition(F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("a"))
         .select(
@@ -210,7 +225,7 @@ def _bm25_pieces(
             F.expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)").alias("ms"),
         )
     )
-    return _BM25Pieces(matched, qconst, dl, pad_safe)
+    return _BM25Pieces(matched, qconst, docs.select("doc_id"), pad_safe)
 
 
 def bm25_scores(
@@ -232,7 +247,7 @@ def bm25_scores(
     re-running the stats/ε jobs."""
     p = _pieces or _bm25_pieces(docs, queries, params, text_col, query_col)
     scores = (
-        p.dl.select("doc_id")
+        p.doc_ids
         .crossJoin(F.broadcast(p.qconst))
         .join(p.matched, ["query_id", "doc_id"], "left")
         .select(
@@ -266,7 +281,7 @@ def bm25_scores_subset(
     scores = (
         candidates.select("query_id", "doc_id")
         .distinct()
-        .join(p.dl.select("doc_id"), "doc_id", "left_semi")
+        .join(p.doc_ids, "doc_id", "left_semi")
         .join(F.broadcast(p.qconst), "query_id")
         .join(p.matched, ["query_id", "doc_id"], "left")
         .select(
@@ -319,35 +334,57 @@ def topk_padded(
     left side is docs × pad-queries — bounded by the rare deficit/tie
     count."""
     ranked = topk(matched_scores, k).cache()
+    # every non-cached side below is one-row-per-query tiny — broadcast
+    # explicitly so the planner never falls back to a sort-merge join
+    # (post-aggregation size estimates are unreliable; guide §3.1)
     counts = ranked.groupBy("query_id").agg(
         F.count("*").alias("n_matched"), F.min("score").alias("kth_score")
     )
     need = (
-        base.join(counts, "query_id", "left")
+        base.join(F.broadcast(counts), "query_id", "left")
         .fillna({"n_matched": 0})
         .withColumn("deficit", F.greatest(F.lit(0), F.lit(k) - F.col("n_matched")))
     )
     deficits = need.filter(
         (F.col("deficit") > 0) | (F.col("kth_score") <= F.col("base_score"))
     ).select("query_id", "base_score")
+    # short-circuit: one tiny job over the (cached) ranked rows decides
+    # whether any query pads at all.  In the common case (none) the
+    # returned plan is just `ranked`, skipping ~6 sequential pad-branch
+    # stage materializations per downstream action — measured r7: the
+    # steady-state batch dropped ~0.7 s at sf0.1.  When queries DO pad,
+    # the probe costs one extra sub-second job and the full padded plan
+    # below is returned unchanged (bit-identical either way: with no
+    # deficits, whole == ranked and merged is empty).
+    if deficits.limit(1).count() == 0:
+        return ranked
     # deficit queries have < k matched docs, so `ranked` holds ALL their
-    # matched pairs — the anti-join below is complete.
+    # matched pairs — the anti-join below is complete.  Its right side
+    # is pre-filtered to the deficit queries' rows (bounded by
+    # |deficits|·k, never Q·k) so it broadcasts safely at any scale.
+    ranked_deficit = ranked.join(
+        F.broadcast(deficits.select("query_id")), "query_id", "left_semi"
+    )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("doc_id"))
     pad_cands = (
         doc_ids.select("doc_id")
         .crossJoin(F.broadcast(deficits))
-        .join(ranked.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
+        .join(
+            F.broadcast(ranked_deficit.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+            "left_anti",
+        )
         .withColumn("r2", F.row_number().over(w2))
         .filter(F.col("r2") <= k)  # k highest unmatched doc_ids suffice
         .select("query_id", "doc_id", F.col("base_score").alias("score"))
     )
     deficit_rows = (
-        ranked.join(deficits.select("query_id"), "query_id", "left_semi")
-        .select("query_id", "doc_id", "score")
-        .unionByName(pad_cands)
+        ranked_deficit.select("query_id", "doc_id", "score").unionByName(pad_cands)
     )
     merged = topk(deficit_rows, k)
-    whole = ranked.join(deficits.select("query_id"), "query_id", "left_anti")
+    whole = ranked.join(
+        F.broadcast(deficits.select("query_id")), "query_id", "left_anti"
+    )
     return whole.unionByName(merged)
 
 
@@ -374,7 +411,7 @@ def bm25_topk(
     if score_round is not None:
         matched = matched.withColumn("score", F.expr(round_sql("score", score_round)))
         base = base.withColumn("base_score", F.expr(round_sql("base_score", score_round)))
-    return topk_padded(matched, base, p.dl.select("doc_id"), k)
+    return topk_padded(matched, base, p.doc_ids, k)
 
 
 # ---------------------------------------------------------------- SQL twin

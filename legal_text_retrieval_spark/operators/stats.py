@@ -72,10 +72,40 @@ def term_frequencies_sql(table: str, text_col: str = "text") -> str:
     )
 
 
+def term_frequencies_with_dl(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """A1 + A3 in one pass: (doc_id, dl, term, tf).  dl is the token
+    count of the doc (``size(toks)`` — identical to Σ tf per doc, empty
+    tokens included) computed BEFORE the explode and carried through the
+    aggregation as a grouping key, so downstream consumers that need
+    (term, doc, tf, dl) rows — the index pack stage, the relational BM25
+    scorer — skip the doc_id-keyed docstats join entirely (guide §2.4).
+    Exact same (doc_id, term, tf) relation as :func:`term_frequencies`
+    (integer arithmetic; dl is functionally dependent on doc_id)."""
+    return (
+        tokenized(docs, text_col)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def document_frequencies(docs: DataFrame, text_col: str = "content") -> DataFrame:
-    """A2: (term, df) — count over the already-distinct (doc, term)
-    relation (cheaper than countDistinct: no second dedup shuffle)."""
-    return term_frequencies(docs, text_col).groupBy("term").agg(F.count("*").alias("df"))
+    """A2: (term, df) — per-doc-distinct terms exploded, then ONE
+    count aggregation.  ``array_distinct`` dedups (doc, term) pairs
+    inside the row, so the former two-shuffle plan (groupBy (doc, term)
+    then groupBy term) collapses to a single term-keyed exchange whose
+    input rows are already per-doc-distinct (guide §2.3/§2.4); counts
+    are integers, bit-identical to the previous plan."""
+    return (
+        tokenized(docs, text_col)
+        .select(F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
 
 
 def document_frequencies_sql(table: str, text_col: str = "text") -> str:

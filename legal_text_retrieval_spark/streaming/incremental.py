@@ -213,17 +213,16 @@ def compact_merged(spark: SparkSession, index_root: str, params: IndexParams):
         .join(dictionary.select("term", "term_id"), "term")
         .select("term_id", "seg_id", "doc_ids_enc", "tfs_enc", "dls_enc")
     )
+    # range-partition BEFORE the merge kernel: one exchange, kernel runs
+    # once (the former post-kernel repartitionByRange re-executed it via
+    # range-boundary sampling), output term_id-clustered (guide §2.4)
     packed = (
-        remapped.repartition(
+        remapped.repartitionByRange(
             max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
         )
         .sortWithinPartitions("term_id", "seg_id")
         .mapInPandas(_make_merge_fn(params, avgdl), POSTINGS_SCHEMA)
     )
-    packed.repartitionByRange(
-        max(1, spark.sparkContext.defaultParallelism), "term_id", "seg_id"
-    ).sortWithinPartitions("term_id", "seg_id").write.mode("overwrite").parquet(
-        out.postings
-    )
+    packed.write.mode("overwrite").parquet(out.postings)
     write_lineage_and_metrics(spark, out, manifest, resume=False)
     return _swap_into_place(spark, index_root, tmp_root)
