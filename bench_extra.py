@@ -94,6 +94,14 @@ def main() -> None:
     )
     dump_plan("bm25plus_topk150_relational", B.bm25_topk(docs, queries_df, NORTH_STAR_BM25, k=150))
 
+    # --- chunked relational (P5+J2+P9 composed) ---
+    from legal_text_retrieval_spark.operators.chunk import bm25_chunked_topk
+
+    dump_plan(
+        "chunked_relational_topk150",
+        bm25_chunked_topk(docs, queries_df, NORTH_STAR_BM25, k=150, size=30, stride=15),
+    )
+
     # --- index build (stage-timed) ---
     idx_root = tempfile.mkdtemp(prefix="lts_bx_idx_")
     iparams = IndexParams(segment_doc_window=1 << 14, bm25=NORTH_STAR_BM25)

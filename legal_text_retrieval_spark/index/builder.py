@@ -285,44 +285,57 @@ def write_lineage_and_metrics(
     final manifest write.  Shared by build and merge."""
     postings = spark.read.parquet(paths.postings)
 
-    def write_lineage():
-        if not (resume and _done(paths.lineage)):
-            # max_group (largest (term, seg) group) rides along so every
-            # whole-index metric below derives from THIS small table —
-            # the former extra full-postings aggregation job is gone
-            # (guide §1.2: don't compute things twice)
-            postings.groupBy("term_id").agg(
-                F.sum("n_docs").alias("postings"),
-                F.sum("enc_bytes").alias("bytes"),
-                F.count("*").alias("segments"),
-                F.max("n_docs").alias("max_group"),
-            ).write.mode("overwrite").parquet(paths.lineage)
-
-    def write_lineage_partitions():
-        if not (resume and _done(paths.lineage_partitions)):
-            # per shuffle-partition record of the pack stage: which worker
-            # partition produced how many groups/postings/bytes
-            postings.groupBy("build_part").agg(
-                F.count("*").alias("groups"),
-                F.sum("n_docs").alias("postings"),
-                F.sum("enc_bytes").alias("bytes"),
-                F.min("term_id").alias("first_term_id"),
-                F.max("term_id").alias("last_term_id"),
-            ).write.mode("overwrite").parquet(paths.lineage_partitions)
+    # max_group (largest (term, seg) group) rides along in lineage so
+    # every whole-index metric below derives from these two SMALL tables
+    # — the former extra full-postings aggregation job is gone (guide
+    # §1.2: don't compute things twice).  Freshly computed tables are
+    # cached so the metrics aggregate reuses the write's
+    # materialization instead of re-reading the parquet it just wrote.
+    fresh_lineage = not (resume and _done(paths.lineage))
+    fresh_lp = not (resume and _done(paths.lineage_partitions))
+    if fresh_lineage:
+        lineage = postings.groupBy("term_id").agg(
+            F.sum("n_docs").alias("postings"),
+            F.sum("enc_bytes").alias("bytes"),
+            F.count("*").alias("segments"),
+            F.max("n_docs").alias("max_group"),
+        ).cache()
+    else:
+        lineage = spark.read.parquet(paths.lineage)
+    if fresh_lp:
+        # per shuffle-partition record of the pack stage: which worker
+        # partition produced how many groups/postings/bytes
+        lineage_partitions = postings.groupBy("build_part").agg(
+            F.count("*").alias("groups"),
+            F.sum("n_docs").alias("postings"),
+            F.sum("enc_bytes").alias("bytes"),
+            F.min("term_id").alias("first_term_id"),
+            F.max("term_id").alias("last_term_id"),
+        ).cache()
+    else:
+        lineage_partitions = spark.read.parquet(paths.lineage_partitions)
 
     # the two bookkeeping writes are independent scans of the packed
     # table — overlap them (guide §2.6)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fa = pool.submit(write_lineage)
-        fb = pool.submit(write_lineage_partitions)
+        fa = pool.submit(
+            lambda: fresh_lineage
+            and lineage.write.mode("overwrite").parquet(paths.lineage)
+        )
+        fb = pool.submit(
+            lambda: fresh_lp
+            and lineage_partitions.write.mode("overwrite").parquet(
+                paths.lineage_partitions
+            )
+        )
         fa.result()
         fb.result()
-    lineage = spark.read.parquet(paths.lineage)
     # ONE combined metrics job over the (vocab-sized) lineage table plus
-    # one over the (partition-count-sized) lineage_partitions table —
-    # the packed postings themselves are never re-aggregated
+    # the (partition-count-sized) lineage_partitions table — the packed
+    # postings themselves are never re-aggregated, and fresh tables are
+    # served from the cache the writes just filled
     agg = (
         lineage.agg(
             F.sum("postings"),
@@ -334,9 +347,7 @@ def write_lineage_and_metrics(
             F.avg("postings"),
         )
         .crossJoin(
-            spark.read.parquet(paths.lineage_partitions).agg(
-                F.count("*").alias("n_build_partitions")
-            )
+            lineage_partitions.agg(F.count("*").alias("n_build_partitions"))
         )
         .collect()[0]
     )
@@ -344,6 +355,10 @@ def write_lineage_and_metrics(
      max_group, max_term_postings, mean_term_postings, n_build_partitions) = agg
     mean_group = total_postings / max(1, n_groups)
     n_build_partitions = int(n_build_partitions)
+    if fresh_lineage:
+        lineage.unpersist()
+    if fresh_lp:
+        lineage_partitions.unpersist()
     build_secs = sum(s.get("seconds", 0) for s in manifest["stages"].values())
     n_docs = manifest["n_docs"]
     manifest.update(

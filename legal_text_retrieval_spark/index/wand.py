@@ -101,7 +101,15 @@ class FulltextIndex:
                 spark.catalog.refreshByPath(p)
             except Exception:
                 pass
-        return cls(spark, paths, manifest)
+        idx = cls(spark, paths, manifest)
+        # opening an index hydrates its metadata tables (dictionary,
+        # docstats) into the cache eagerly — every query needs them, and
+        # serving-style loads (index/serving.py) have always done the
+        # equivalent.  One small job at open instead of inside the first
+        # query's critical path.
+        idx.dictionary().count()
+        idx.docstats().count()
+        return idx
 
     @property
     def params(self) -> BM25Params:

@@ -122,7 +122,15 @@ def parent_dedup(hits: DataFrame) -> DataFrame:
         ).alias("doc_id"),
         F.col("rank").alias("pos"),
     )
-    first = parents.groupBy("query_id", "doc_id").agg(F.min("pos").alias("pos"))
+    # one exchange: hash partitioning on query_id co-locates the
+    # (query_id, doc_id) groups AND satisfies the rank window below, so
+    # the keep-first aggregation and the window sort share it
+    # (same pattern as bm25._bm25_pieces.matched)
+    first = (
+        parents.repartition(F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("pos").alias("pos"))
+    )
     w = Window.partitionBy("query_id").orderBy("pos")
     return (
         first.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -148,7 +148,13 @@ def combine_interleave_topk(
         "query_id", "doc_id", (2 * F.col("rank")).alias("pos")
     )
     merged = b.unionByName(t)
-    first = merged.groupBy("query_id", "doc_id").agg(F.min("pos").alias("pos"))
+    # one exchange for the keep-first aggregation + rank window
+    # (bm25._bm25_pieces pattern)
+    first = (
+        merged.repartition(F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("pos").alias("pos"))
+    )
     w = Window.partitionBy("query_id").orderBy("pos")
     return (
         first.withColumn("rank", F.row_number().over(w).cast("long"))

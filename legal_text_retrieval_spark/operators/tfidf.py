@@ -153,9 +153,12 @@ def tfidf_cosine_matched(
         "term",
         F.expr("CASE WHEN norm = 0 THEN CAST(0.0 AS DOUBLE) ELSE w / norm END").alias("wq"),
     )
+    # repartition by query_id so the aggregation and the downstream
+    # top-k window share one exchange (bm25._bm25_pieces pattern)
     return (
         wqn.join(dwn, "term")
         .withColumn("v", F.expr("wq * wd"))
+        .repartition(F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("term", "v"))).alias("a"))
         .select("query_id", "doc_id", F.expr(_FOLD).alias("score"))
