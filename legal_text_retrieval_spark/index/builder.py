@@ -426,37 +426,60 @@ def build_index(
 
     # -- ingest parallelism: a handful of big input files must not
     # serialize the tokenize stage; spread to 2× total cores up front.
+    # (capture cached-ness of the CALLER's relation first — the
+    # repartition wrapper below reports StorageLevel NONE even when its
+    # child is an InMemoryRelation)
+    _src_lvl = docs.storageLevel
+    src_cached = _src_lvl.useMemory or _src_lvl.useDisk
     target_parts = spark.sparkContext.defaultParallelism * 2
     if docs.rdd.getNumPartitions() < target_parts:
         docs = docs.repartition(target_parts)
 
-    # -- stage: docs (+ sha256 integrity column, input_hint invariant).
-    # termfreq reads this stage's parquet back rather than re-evaluating
-    # the caller's plan: for computed sources (chunked_corpus's explode
-    # union, a filtered scan) the source is evaluated exactly once.
-    docs_cols = [c for c in ("doc_id", "repo", "path", "commit", "lang", text_col) if c in docs.columns]
-    docs_idx = stage(
-        "docs",
-        paths.docs,
-        lambda: docs.select(*docs_cols).withColumn(
-            "content_sha", F.sha2(F.col(text_col), 256)
-        ),
-    )
-
-    # -- stage: termfreq — the SPIMI local runs.  Tokenize + explode
+    # -- stage: docs (+ sha256 integrity column, input_hint invariant),
+    # and stage: termfreq — the SPIMI local runs.  Tokenize + explode
     # exactly ONCE; docstats, dictionary and postings all derive from
-    # this relation.  dl is computed AT tokenize time (size of the token
+    # termfreq.  dl is computed AT tokenize time (size of the token
     # array — identical to Σ tf per doc, empty-token terms included) and
     # carried through the (doc_id, term) aggregation, so the postings
     # stage needs NO doc_id-keyed join against docstats (guide §2.4:
     # one less corpus-volume exchange) — the extra 8 bytes per grouped
     # row is the whole cost.
-    termfreq = stage(
-        "termfreq",
-        f"{out_dir}/termfreq",
-        lambda: ops_stats.term_frequencies_with_dl(docs_idx, text_col),
-    )
+    #
+    # When the caller's source relation is CACHED, the two stages are
+    # independent (evaluating an InMemoryRelation twice costs nothing)
+    # and run overlapped from a 2-thread pool (guide §2.6).  For
+    # uncached/computed sources (chunked_corpus's explode union, a raw
+    # corpus scan at 100 TB) termfreq instead reads the docs stage's
+    # parquet back, so the source is evaluated exactly once.
     from concurrent.futures import ThreadPoolExecutor
+
+    docs_cols = [c for c in ("doc_id", "repo", "path", "commit", "lang", text_col) if c in docs.columns]
+
+    def make_docs():
+        return docs.select(*docs_cols).withColumn(
+            "content_sha", F.sha2(F.col(text_col), 256)
+        )
+
+    if src_cached:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_docs = pool.submit(stage, "docs", paths.docs, make_docs)
+            f_termfreq = pool.submit(
+                stage,
+                "termfreq",
+                f"{out_dir}/termfreq",
+                lambda: ops_stats.term_frequencies_with_dl(
+                    docs.select("doc_id", text_col), text_col
+                ),
+            )
+            termfreq = f_termfreq.result()
+            f_docs.result()
+    else:
+        docs_idx = stage("docs", paths.docs, make_docs)
+        termfreq = stage(
+            "termfreq",
+            f"{out_dir}/termfreq",
+            lambda: ops_stats.term_frequencies_with_dl(docs_idx, text_col),
+        )
 
     # -- stage docstats ∥ the n_docs/total_tokens scalars: the write and
     # the aggregation both derive from the termfreq parquet and have no
