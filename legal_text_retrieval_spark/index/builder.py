@@ -460,118 +460,124 @@ def build_index(
             "content_sha", F.sha2(F.col(text_col), 256)
         )
 
-    if src_cached:
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_docs = pool.submit(stage, "docs", paths.docs, make_docs)
-            f_termfreq = pool.submit(
-                stage,
+    # `background` holds stage writes NOTHING downstream consumes (the
+    # docs table feeds only integrity checks; docstats feeds only query
+    # time) — they run off the critical path and are joined before the
+    # manifest is finalized.
+    pool = ThreadPoolExecutor(max_workers=3)
+    background = []
+    try:
+        if src_cached:
+            background.append(pool.submit(stage, "docs", paths.docs, make_docs))
+            termfreq = stage(
                 "termfreq",
                 f"{out_dir}/termfreq",
                 lambda: ops_stats.term_frequencies_with_dl(
                     docs.select("doc_id", text_col), text_col
                 ),
             )
-            termfreq = f_termfreq.result()
-            f_docs.result()
-    else:
-        docs_idx = stage("docs", paths.docs, make_docs)
-        termfreq = stage(
-            "termfreq",
-            f"{out_dir}/termfreq",
-            lambda: ops_stats.term_frequencies_with_dl(docs_idx, text_col),
-        )
+        else:
+            docs_idx = stage("docs", paths.docs, make_docs)
+            termfreq = stage(
+                "termfreq",
+                f"{out_dir}/termfreq",
+                lambda: ops_stats.term_frequencies_with_dl(docs_idx, text_col),
+            )
 
-    # -- stage docstats ∥ the n_docs/total_tokens scalars: the write and
-    # the aggregation both derive from the termfreq parquet and have no
-    # mutual dependency — overlap them too (dl is constant within a
-    # doc_id group: max == the value; count/sum over the grouped relation
-    # equal the old docstats-table aggregate exactly)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_docstats = pool.submit(
-            stage,
-            "docstats",
-            paths.docstats,
-            lambda: termfreq.groupBy("doc_id").agg(F.max("dl").alias("dl")),
+        # -- stage docstats (background) ∥ the n_docs/total_tokens
+        # scalars (critical path): both derive from the termfreq parquet
+        # with no mutual dependency (dl is constant within a doc_id
+        # group: max == the value; count/sum over the grouped relation
+        # equal the old docstats-table aggregate exactly)
+        background.append(
+            pool.submit(
+                stage,
+                "docstats",
+                paths.docstats,
+                lambda: termfreq.groupBy("doc_id").agg(F.max("dl").alias("dl")),
+            )
         )
-        f_scalars = pool.submit(
-            lambda: termfreq.groupBy("doc_id")
+        n_docs, total_tokens = (
+            termfreq.groupBy("doc_id")
             .agg(F.max("dl").alias("dl"))
             .agg(F.count("*"), F.sum("dl"))
             .collect()[0]
         )
-        n_docs, total_tokens = f_scalars.result()
-        docstats = f_docstats.result()
-    avgdl = float(total_tokens) / n_docs
-    manifest["n_docs"] = int(n_docs)
-    manifest["total_tokens"] = int(total_tokens)
-    manifest["avgdl"] = avgdl
+        avgdl = float(total_tokens) / n_docs
+        manifest["n_docs"] = int(n_docs)
+        manifest["total_tokens"] = int(total_tokens)
+        manifest["avgdl"] = avgdl
 
-    # -- stage: dictionary (term → dense term_id in lexical order + df + idf)
-    dictionary = stage(
-        "dictionary",
-        paths.dictionary,
-        lambda: dictionary_from_dfreq(
-            termfreq.groupBy("term").agg(F.count("*").alias("df")),
-            n_docs,
-            params,
-            total_tokens,
-            out_dir,
-        ),
-    )
-    # -- stage: postings (segment-partitioned, packed, block-max metadata)
-    # Pack-shuffle partition count scales with posting volume
-    # (total_tokens is an exact upper bound on postings — Σ dl is
-    # already in hand), bounding per-partition sort/pack state instead
-    # of pinning it to core count: at 3.2M docs the 149M-posting pack
-    # through defaultParallelism partitions needed a 24g heap; sized
-    # partitions keep the per-task working set flat as the corpus
-    # grows.  Same sizing rule as operators/dedup.py
-    # (dedup_shuffle_partitions); never below the core count.
-    pack_parts = int(
-        min(
-            4096,
-            max(
-                max(1, spark.sparkContext.defaultParallelism),
-                int(total_tokens) // 4_000_000 + 1,
+        # -- stage: dictionary (term → dense term_id in lexical order + df + idf)
+        dictionary = stage(
+            "dictionary",
+            paths.dictionary,
+            lambda: dictionary_from_dfreq(
+                termfreq.groupBy("term").agg(F.count("*").alias("df")),
+                n_docs,
+                params,
+                total_tokens,
+                out_dir,
             ),
         )
-    )
-
-    def make_postings():
-        flat = (
-            termfreq.join(F.broadcast(dictionary.select("term", "term_id")), "term")
-            .withColumn("seg_id", (F.col("doc_id") / params.segment_doc_window).cast("long"))
-            .select("term_id", "seg_id", "doc_id", "tf", "dl")
-        )
-        # RANGE-partition by group key, sort within partitions, stream-
-        # pack: ONE shuffle, contiguous runs, no pandas per-group
-        # overhead, and the output is already term_id-clustered for
-        # parquet row-group min/max pruning at query time.  The former
-        # shape (hash repartition → pack → repartitionByRange) paid a
-        # second full exchange of the packed rows AND ran the pack
-        # kernel TWICE, because RangePartitioner samples its child plan
-        # — sampling here re-runs only the map-side scan+broadcast-join
-        # (measured r7: postings stage 0.98 s → 0.60 s at sf0.1, and
-        # one packed-volume exchange removed at every scale).
-        return (
-            flat.repartitionByRange(pack_parts, "term_id", "seg_id")
-            .sortWithinPartitions("term_id", "seg_id", "doc_id")
-            .mapInPandas(_make_pack_fn(params, avgdl), POSTINGS_SCHEMA)
+        # -- stage: postings (segment-partitioned, packed, block-max metadata)
+        # Pack-shuffle partition count scales with posting volume
+        # (total_tokens is an exact upper bound on postings — Σ dl is
+        # already in hand), bounding per-partition sort/pack state instead
+        # of pinning it to core count: at 3.2M docs the 149M-posting pack
+        # through defaultParallelism partitions needed a 24g heap; sized
+        # partitions keep the per-task working set flat as the corpus
+        # grows.  Same sizing rule as operators/dedup.py
+        # (dedup_shuffle_partitions); never below the core count.
+        pack_parts = int(
+            min(
+                4096,
+                max(
+                    max(1, spark.sparkContext.defaultParallelism),
+                    int(total_tokens) // 4_000_000 + 1,
+                ),
+            )
         )
 
-    # min_idf < 0 (okapi negative eps floor) invalidates WAND's
-    # block-max bounds — recorded so the query path can refuse loudly.
-    # The tiny dictionary aggregate is independent of the pack shuffle,
-    # so it overlaps the postings stage (guide §2.6).
-    from concurrent.futures import ThreadPoolExecutor
+        def make_postings():
+            flat = (
+                termfreq.join(F.broadcast(dictionary.select("term", "term_id")), "term")
+                .withColumn("seg_id", (F.col("doc_id") / params.segment_doc_window).cast("long"))
+                .select("term_id", "seg_id", "doc_id", "tf", "dl")
+            )
+            # RANGE-partition by group key, sort within partitions, stream-
+            # pack: ONE shuffle, contiguous runs, no pandas per-group
+            # overhead, and the output is already term_id-clustered for
+            # parquet row-group min/max pruning at query time.  The former
+            # shape (hash repartition → pack → repartitionByRange) paid a
+            # second full exchange of the packed rows AND ran the pack
+            # kernel TWICE, because RangePartitioner samples its child plan
+            # — sampling here re-runs only the map-side scan+broadcast-join
+            # (measured r7: postings stage 0.98 s → 0.60 s at sf0.1, and
+            # one packed-volume exchange removed at every scale).
+            return (
+                flat.repartitionByRange(pack_parts, "term_id", "seg_id")
+                .sortWithinPartitions("term_id", "seg_id", "doc_id")
+                .mapInPandas(_make_pack_fn(params, avgdl), POSTINGS_SCHEMA)
+            )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_postings = pool.submit(stage, "postings", paths.postings, make_postings)
-        f_min_idf = pool.submit(
-            lambda: float(dictionary.agg(F.min("idf")).collect()[0][0])
+        # min_idf < 0 (okapi negative eps floor) invalidates WAND's
+        # block-max bounds — recorded so the query path can refuse loudly.
+        # The tiny dictionary aggregate is independent of the pack shuffle,
+        # so it overlaps the postings stage (guide §2.6).
+        background.append(
+            pool.submit(lambda: manifest.__setitem__(
+                "min_idf", float(dictionary.agg(F.min("idf")).collect()[0][0])
+            ))
         )
-        manifest["min_idf"] = f_min_idf.result()
-        f_postings.result()
+        stage("postings", paths.postings, make_postings)
+        # join every background job (docs/docstats writes, min_idf)
+        # before the manifest is finalized — a failure there fails the
+        # build here
+        for f in background:
+            f.result()
+    finally:
+        pool.shutdown(wait=True)
 
     # -- lineage + metrics (north_rule: postings/sec, bytes, skew ratio,
     # per-partition records)
