@@ -281,7 +281,16 @@ def _q_bm25_compacted_topk(spark, sf_dir):
                 checkpoint_dir=f"{base}/ckpt/b{i}",
                 schema=streamed.schema,
             )
-            q.awaitTermination(300)
+            # availableNow trigger: True = drained.  A timeout MUST
+            # fail loudly — compacting over a partially ingested slice
+            # would surface only as a confusing oracle hash mismatch
+            # (ADVICE r6).  600 s is ~100x the quiet-box drain time.
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    f"streaming micro-batch b{i} did not drain in 600s; "
+                    "refusing to compact a partial ingest"
+                )
         incremental.compact_merged(spark, root, params)
         _CACHE[key] = root
     index = FulltextIndex.load(spark, _CACHE[key])

@@ -317,23 +317,45 @@ class LocalIndexServer:
         shards own disjoint doc ids, and the global top-k is a subset
         of the union of per-shard top-ks.  This is the single-node
         half of the documented scale-out story (the cross-node half is
-        the same scatter-gather over doc partitions)."""
+        the same scatter-gather over doc partitions).
+
+        ONE pool per process: workers resolve the module-global
+        ``_SHARD_SERVER`` at fork time, so a second live pool in the
+        same process would keep serving its own fork-time snapshot
+        while the global silently repoints — refused here
+        (tests/test_serving.py::test_one_pool_per_process)."""
         import multiprocessing as mp
 
         if getattr(self, "_pool", None) is not None:
             raise RuntimeError("workers already started")
         global _SHARD_SERVER
+        if (
+            _SHARD_SERVER is not None
+            and _SHARD_SERVER is not self
+            and getattr(_SHARD_SERVER, "_pool", None) is not None
+        ):
+            raise RuntimeError(
+                "another LocalIndexServer's worker pool is live in this "
+                "process — one pool per process (workers capture the "
+                "module-global server at fork time); stop_workers() on "
+                "the other server first"
+            )
         _SHARD_SERVER = self
         ctx = mp.get_context("fork")  # COW-share the loaded index
         self._pool = ctx.Pool(n_workers)
         self._n_workers = n_workers
 
     def stop_workers(self) -> None:
+        global _SHARD_SERVER
         pool = getattr(self, "_pool", None)
         if pool is not None:
             pool.terminate()
             pool.join()
             self._pool = None
+        if _SHARD_SERVER is self:
+            # release the global so the multi-GiB postings arrays are
+            # collectable and the next start_workers starts clean
+            _SHARD_SERVER = None
 
     def __enter__(self) -> "LocalIndexServer":
         return self

@@ -389,6 +389,50 @@ def _request_shuffle_cleanup(spark) -> None:
 _SWEEP_SHUFFLE_BYTES_PER_SHINGLE = 320
 
 
+def _spark_local_dir(spark) -> str:
+    """The first directory Spark actually spills shuffle/cache to.
+    The runtime SQL conf alone is not enough (ADVICE r6):
+    ``spark.local.dir`` is commonly set via the ``SPARK_LOCAL_DIRS``
+    env var or spark-defaults and is then ABSENT from the SQL conf, so
+    a temp-dir fallback would probe the wrong filesystem and silently
+    skip the barrier — reproducing the ENOSPC the auto mode exists to
+    prevent.  Resolution order mirrors Spark's own
+    (Utils.getConfiguredLocalDirs): env var, SparkConf, SQL conf,
+    then the JVM temp-dir default."""
+    import os
+    import tempfile
+
+    for get in (
+        lambda: os.environ.get("SPARK_LOCAL_DIRS"),
+        lambda: spark.sparkContext.getConf().get("spark.local.dir", None),
+        lambda: spark.conf.get("spark.local.dir", None),
+    ):
+        try:
+            d = get()
+        except Exception:
+            d = None
+        if d:
+            return d.split(",")[0]
+    return tempfile.gettempdir()
+
+
+#: barrier roots already registered for removal at interpreter exit —
+#: auto-mode barrier/verify parquet lives under the Spark local dir
+#: for the SESSION (the returned sliced-verify DataFrame lazily reads
+#: it, so it cannot be removed any earlier); without this a long
+#: process running many sweeps leaks the dirs (ADVICE r6).
+_BARRIER_ROOTS: set = set()
+
+
+def _register_barrier_root(root) -> None:
+    import atexit
+    import shutil as _sh
+
+    if str(root) not in _BARRIER_ROOTS:
+        _BARRIER_ROOTS.add(str(root))
+        atexit.register(_sh.rmtree, str(root), True)  # ignore_errors
+
+
 def _auto_checkpoint_dir(spark, est_rows: int) -> str | None:
     """Decide the disk barrier from the projected single-lineage
     shuffle footprint vs the Spark local dir's free space (with a 2×
@@ -400,16 +444,10 @@ def _auto_checkpoint_dir(spark, est_rows: int) -> str | None:
     operator caches — session-lifetime cache policy, CLAUDE.md) or
     None when the sweep fits."""
     import shutil
-    import tempfile
     import uuid
 
     projected = est_rows * _SWEEP_SHUFFLE_BYTES_PER_SHINGLE
-    local_dir = None
-    try:
-        local_dir = spark.conf.get("spark.local.dir", None)
-    except Exception:
-        pass
-    local_dir = (local_dir or tempfile.gettempdir()).split(",")[0]
+    local_dir = _spark_local_dir(spark)
     try:
         free = shutil.disk_usage(local_dir).free
     except OSError:
@@ -437,11 +475,9 @@ def _auto_checkpoint_dir(spark, est_rows: int) -> str | None:
             "partition of the corpus at a time.",
             stacklevel=3,
         )
-    d = (
-        Path(local_dir)
-        / f"lts_dedup_barrier_{spark.sparkContext.applicationId}"
-        / uuid.uuid4().hex
-    )
+    root = Path(local_dir) / f"lts_dedup_barrier_{spark.sparkContext.applicationId}"
+    _register_barrier_root(root)
+    d = root / uuid.uuid4().hex
     d.mkdir(parents=True, exist_ok=True)
     return str(d)
 
@@ -457,13 +493,8 @@ def _auto_verify_slices(spark, n_cand: int, avg_shingles: float) -> int:
     """How many slices the verify phase needs so ONE slice's exchanges
     fit half the local dir's free disk.  1 = unsliced (small sweeps)."""
     import shutil as _sh
-    import tempfile as _tf
 
-    try:
-        local_dir = spark.conf.get("spark.local.dir", None)
-    except Exception:
-        local_dir = None
-    local_dir = (local_dir or _tf.gettempdir()).split(",")[0]
+    local_dir = _spark_local_dir(spark)
     try:
         free = _sh.disk_usage(local_dir).free
     except OSError:
@@ -471,7 +502,24 @@ def _auto_verify_slices(spark, n_cand: int, avg_shingles: float) -> int:
     projected = int(n_cand * avg_shingles * _VERIFY_BYTES_PER_CAND_SHINGLE)
     if projected <= free // 2:
         return 1
-    return min(16, -(-projected // max(1, free // 2)))
+    slices = -(-projected // max(1, free // 2))
+    if slices > 16:
+        # past the 16-slice cap even one slice's verify exchanges may
+        # not fit half the free disk — same situation (and remedies) as
+        # the no-barrier-placement-fits warning above (ADVICE r6: warn
+        # instead of exhausting the disk silently)
+        import warnings
+
+        warnings.warn(
+            f"dedup_minhash_lsh: verify phase projects ≈"
+            f"{projected / (1 << 30):.0f} GiB of exchange disk vs "
+            f"{free / (1 << 30):.0f} GiB free — even {16} slices may not "
+            "fit. Start the session with spark.io.compression.codec=zstd "
+            "(~2x text ratio), add shuffle disk (more executors on a "
+            "cluster), or sweep a partition of the corpus at a time.",
+            stacklevel=3,
+        )
+    return min(16, slices)
 
 
 def dedup_minhash_lsh(

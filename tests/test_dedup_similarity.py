@@ -589,3 +589,31 @@ def test_dedup_auto_checkpoint_decision(spark, tmp_path):
     assert d is not None and Path(d).is_dir()
     assert spark.sparkContext.applicationId in d
     shutil.rmtree(Path(d).parent, ignore_errors=True)
+
+
+def test_auto_probe_local_dir_and_limits(spark, tmp_path, monkeypatch):
+    """ADVICE r6 hardening: the auto probes resolve the REAL Spark
+    local dir (SPARK_LOCAL_DIRS env wins over the SQL-conf fallback),
+    auto barrier roots are registered for removal at interpreter exit,
+    and a verify projection past the 16-slice cap warns with the
+    codec/disk/partition remedies instead of failing silently."""
+    import shutil
+
+    from legal_text_retrieval_spark.operators import dedup as D
+
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", f"{tmp_path},/nonexistent_b")
+    assert D._spark_local_dir(spark) == str(tmp_path)
+
+    free = shutil.disk_usage(tmp_path).free
+    over = (free // D._SWEEP_SHUFFLE_BYTES_PER_SHINGLE) + 1
+    with pytest.warns(UserWarning):  # may also trip the no-placement warning
+        d = D._auto_checkpoint_dir(spark, over * 2)
+    assert d is not None and str(tmp_path) in d  # probed the env-var dir
+    root = Path(d).parent
+    assert str(root) in D._BARRIER_ROOTS  # cleaned up at interpreter exit
+
+    cand_over = int(free // (D._VERIFY_BYTES_PER_CAND_SHINGLE * 100)) + 1
+    with pytest.warns(UserWarning, match="verify phase projects"):
+        n = D._auto_verify_slices(spark, n_cand=cand_over * 40, avg_shingles=100.0)
+    assert n == 16
+    shutil.rmtree(root, ignore_errors=True)

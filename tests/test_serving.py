@@ -113,3 +113,33 @@ def test_query_parents_sharded_identical(served, tiny_queries_pdf):
             )
     finally:
         srv.stop_workers()
+
+
+def test_one_pool_per_process(spark, tiny_docs, tmp_path_factory):
+    """ADVICE r6: workers capture the module-global server at fork
+    time, so a second live pool in one process would serve a stale
+    snapshot — start_workers must refuse while another server's pool
+    is live, and stop_workers must release the global (so the stopped
+    server's postings become collectable and a new pool starts clean)."""
+    root = str(tmp_path_factory.mktemp("srv_pool_guard"))
+    builder.build_index(spark, tiny_docs, root, PARAMS)
+    a = serving.LocalIndexServer.load(spark, root)
+    b = serving.LocalIndexServer.load(spark, root)
+
+    a.start_workers(2)
+    try:
+        assert serving._SHARD_SERVER is a
+        with pytest.raises(RuntimeError, match="one pool per process"):
+            b.start_workers(2)
+    finally:
+        a.stop_workers()
+    assert serving._SHARD_SERVER is None  # released for GC
+
+    # after the release the second server starts (and serves) cleanly
+    b.start_workers(2)
+    try:
+        assert serving._SHARD_SERVER is b
+        assert b.query_sharded("a", 5) == b.query("a", 5)
+    finally:
+        b.stop_workers()
+    assert serving._SHARD_SERVER is None
